@@ -1,0 +1,127 @@
+"""Reverse-diffusion samplers — pure step rules + a single-XLA-program sampler.
+
+The entire 60-step reverse loop compiles to ONE jitted program via
+``jax.lax.scan`` (vs. the reference's 60 separate model invocations in a
+Python loop, inference.py:84-94). Step-rule parity:
+
+  * standard_diffusion_step — DDPM ancestral step
+        x_{t-1} = (1/sqrt(1-beta)) * (x - beta * eps_hat / sqrt(1-abar))
+                  [+ sqrt(beta) * z   unless i == 0]
+    (utils/nn.py:64-87; noise skipped at the last step, inference.py:92)
+
+  * new_diffusion_step — the paper's variant
+        x_{t-1} = (x - sqrt(1-abar) * eps_hat) / sqrt(1-beta)
+                  + sqrt(1 - abar_next) * z
+    with abar_next = alpha_set[i-1] for i > 1 else 1.0
+    (utils/nn.py:90-112, inference.py:87)
+
+The model is called with sigma = sqrt(abar_i) each step, and the pen-lift
+probabilities from the LAST step (i == 0) are attached as channel 3
+(inference.py:89-96).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from dhg.core.schedule import get_alpha_set, get_beta_set
+
+
+def standard_diffusion_step(
+    xt: jnp.ndarray,
+    eps_pred: jnp.ndarray,
+    beta: jnp.ndarray,
+    alpha: jnp.ndarray,
+    noise: jnp.ndarray,
+    add_sigma,
+) -> jnp.ndarray:
+    """DDPM ancestral step. `noise` is pre-drawn N(0,1); `add_sigma` gates it."""
+    x_prev = (1.0 / jnp.sqrt(1.0 - beta)) * (xt - beta * eps_pred / jnp.sqrt(1.0 - alpha))
+    return x_prev + jnp.where(add_sigma, jnp.sqrt(beta), 0.0) * noise
+
+
+def new_diffusion_step(
+    xt: jnp.ndarray,
+    eps_pred: jnp.ndarray,
+    beta: jnp.ndarray,
+    alpha: jnp.ndarray,
+    alpha_next: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """The paper's alternative step rule."""
+    x_prev = (xt - jnp.sqrt(1.0 - alpha) * eps_pred) / jnp.sqrt(1.0 - beta)
+    return x_prev + noise * jnp.sqrt(1.0 - alpha_next)
+
+
+def infer_seq_len(num_tokens: int) -> int:
+    """Sequence length heuristic: 16 per token, bumped to the next multiple of 8.
+
+    Matches inference.py:77-78 exactly: T = 16*L; T = T - T % 8 + 8 — i.e.
+    strictly rounds UP past the nearest multiple of 8 (adds 8 even when
+    already divisible).
+    """
+    t = 16 * num_tokens
+    return t - (t % 8) + 8
+
+
+def diffusion_sample(
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    key: jax.Array,
+    batch_size: int,
+    seq_len: int,
+    beta_set: jnp.ndarray | None = None,
+    mode: str = "new",
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Run the full reverse-diffusion loop as one lax.scan.
+
+    Args:
+      denoise_fn: (x [B,T,2], sigma [B,1]) -> (eps_pred [B,T,2], pen [B,T]).
+        Text/style conditioning should be closed over (they are loop
+        constants, so XLA hoists their encoder to outside the scan when the
+        model is written that way; see DiffusionModel.encode_cond).
+      key: PRNG key. The initial x ~ N(0,1) and all per-step noise come
+        from deterministic splits of this key.
+      batch_size, seq_len: output shape (seq_len must be a multiple of 8).
+      beta_set: noise schedule (defaults to the canonical 60-step table).
+      mode: "new" (default, the paper's rule) or "standard" (DDPM ancestral).
+
+    Returns:
+      strokes [B, T, 3]: (dx, dy) from the final x plus the last step's
+      pen-lift probabilities as channel 3.
+    """
+    if beta_set is None:
+        beta_set = get_beta_set()
+    beta_set = beta_set.astype(dtype)
+    alpha_set = get_alpha_set(beta_set)
+    n = beta_set.shape[0]
+
+    k_init, k_steps = jax.random.split(key)
+    x0 = jax.random.normal(k_init, (batch_size, seq_len, 2), dtype=dtype)
+    step_keys = jax.random.split(k_steps, n)
+
+    # Scan runs t = 0..n-1 over reversed schedule index i = n-1-t.
+    idxs = jnp.arange(n - 1, -1, -1)
+    # abar_next[i] = alpha_set[i-1] if i > 1 else 1.0  (inference.py:87)
+    alpha_next_set = jnp.where(
+        idxs > 1, alpha_set[jnp.maximum(idxs - 1, 0)], jnp.ones((), dtype)
+    )
+
+    def body(x, per_step):
+        i, alpha_next, k = per_step
+        alpha = alpha_set[i]
+        beta = beta_set[i]
+        sigma = jnp.sqrt(alpha) * jnp.ones((batch_size, 1), dtype)
+        eps_pred, pen = denoise_fn(x, sigma)
+        noise = jax.random.normal(k, x.shape, dtype)
+        if mode == "standard":
+            x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
+        else:
+            x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
+        return x_next, pen
+
+    x_final, pens = jax.lax.scan(body, x0, (idxs, alpha_next_set, step_keys))
+    return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)

@@ -1,0 +1,53 @@
+"""Diffusion noise schedule — pure jnp, precomputed tables.
+
+Notation follows the reference (see /root/reference/diffusion_handwriting_generation/
+utils/nn.py:1-5): the variable "alpha" denotes alpha_bar = cumprod(1 - beta);
+the paper's per-step alpha is (1 - beta).
+
+Behavior parity:
+  * get_beta_set() == 0.02 + explin(1e-5, 0.4, 60)   (utils/nn.py:19-39)
+  * alpha_set == cumprod(1 - beta_set)               (train.py:90, inference.py:81)
+  * training samples alpha_bar CONTINUOUSLY: a random adjacent pair of alpha
+    levels, then uniform in between                  (utils/nn.py:42-61)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+N_STEPS = 60
+
+
+def explin(min_val: float, max_val: float, num: int) -> jnp.ndarray:
+    """Exponentially spaced values between min_val and max_val (log-linear)."""
+    return jnp.exp(jnp.linspace(jnp.log(min_val), jnp.log(max_val), num))
+
+
+_explin = explin
+
+
+def get_beta_set(n_steps: int = N_STEPS) -> jnp.ndarray:
+    """The fixed 60-value beta schedule: 0.02 + explin(1e-5, 0.4, 60)."""
+    return 0.02 + _explin(1e-5, 0.4, n_steps)
+
+
+def get_alpha_set(beta_set: jnp.ndarray | None = None) -> jnp.ndarray:
+    """alpha_bar table: cumprod(1 - beta)."""
+    if beta_set is None:
+        beta_set = get_beta_set()
+    return jnp.cumprod(1.0 - beta_set)
+
+
+def sample_alphas(key: jax.Array, batch_size: int, alpha_set: jnp.ndarray) -> jnp.ndarray:
+    """Continuously sample alpha_bar values for a training batch.
+
+    Picks a random adjacent pair (alpha_set[i], alpha_set[i+1]) per sample and
+    draws uniformly between them. Returns shape [B, 1].
+    """
+    k_idx, k_u = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (batch_size, 1), 0, alpha_set.shape[0] - 1)
+    lower = alpha_set[idx]
+    upper = alpha_set[idx + 1]
+    u = jax.random.uniform(k_u, (batch_size, 1))
+    return u * (upper - lower) + lower

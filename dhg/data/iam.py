@@ -1,0 +1,208 @@
+"""IAM-OnDB dataset build with a packed .npz cache.
+
+Re-designs the reference IAMDataset (dataset.py:22-157) for TPU training:
+instead of an eager in-RAM torch Dataset whose __init__ runs MobileNetV2 per
+sample, the build is a one-shot offline pass that emits a packed cache of
+fixed-shape arrays:
+
+  strokes  f32[N, max_seq_len, 3]
+  text     i32[N, max_text_len]
+  style    f32[N, 14, 1280]
+
+Training then samples i.i.d. random batches straight from the cache (the
+reference's `next(iter(loader))`-per-step draws a fresh shuffled batch every
+step anyway, train.py:98 — sampling with replacement from the packed cache
+matches that effective behavior and is far faster).
+
+Filtering parity with the reference build (dataset.py:62-150):
+  * text filter: len(text) >= max_text_len drops the line (<= 49 chars + EOS);
+  * stroke filter: sequences longer than max_seq_len or with any |coord| > 15
+    are dropped (pad_stroke_seq -> None);
+  * image filter: lines whose trimmed image is >= img_width px wide are
+    dropped (the reference only appends inside `if img.shape[1] < img_width`);
+  * style source: a random DIFFERENT line of the same form (writer), so the
+    style vector cannot leak the target text (dataset.py:110-118). The
+    reference uses an unseeded random.choice; here the choice is derived from
+    `seed` for reproducibility (documented divergence).
+
+Style vectors are computed in batches on the accelerator via the frozen
+StyleExtractor instead of per-sample on CPU.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from dhg.data.images import pad_img, read_img
+from dhg.data.strokes import pad_stroke_seq, parse_lines_txt, parse_strokes_xml
+from dhg.data.tokenizer import Tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class IAMCache:
+    """Packed dataset arrays ready for device upload."""
+
+    strokes: np.ndarray  # f32 [N, max_seq_len, 3]
+    text: np.ndarray  # i32 [N, max_text_len]
+    style: np.ndarray  # f32 [N, 14, 1280]
+    sample_ids: list[str]
+
+    def __len__(self) -> int:
+        return len(self.sample_ids)
+
+    def save(self, path: Path | str) -> None:
+        np.savez_compressed(
+            path,
+            strokes=self.strokes,
+            text=self.text,
+            style=self.style,
+            sample_ids=np.array(self.sample_ids),
+        )
+
+    @classmethod
+    def load(cls, path: Path | str) -> "IAMCache":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            strokes=z["strokes"],
+            text=z["text"],
+            style=z["style"],
+            sample_ids=[str(s) for s in z["sample_ids"]],
+        )
+
+
+def build_iam_cache(
+    data_dir: str | Path,
+    kind: str = "train",
+    splits_file: str | Path = "data/splits.json",
+    img_height: int = 96,
+    img_width: int = 1400,
+    max_text_len: int = 50,
+    max_seq_len: int = 480,
+    max_files: int | None = None,
+    seed: int = 54321,
+    style_apply_fn=None,
+    style_batch: int = 32,
+) -> IAMCache:
+    """Scan the IAM tree and build a packed cache.
+
+    style_apply_fn: jitted fn [B, H, W] image -> [B, 14, 1280]; if None, the
+    frozen StyleExtractor is built on the fly (random-init unless converted
+    weights are present at data/mobilenetv2_tv.npz).
+    """
+    data_dir = Path(data_dir)
+    rng = np.random.RandomState(seed)
+    tokenizer = Tokenizer()
+
+    with open(splits_file) as f:
+        splits = json.load(f)
+
+    strokes_all: list[np.ndarray] = []
+    text_all: list[np.ndarray] = []
+    style_imgs: list[np.ndarray] = []
+    sample_ids: list[str] = []
+
+    done = False
+    for form in splits[kind]:
+        strokes_dir = data_dir / "lineStrokes" / form[:3] / form[:7]
+        img_dir = data_dir / "lineImages" / form[:3] / form[:7]
+        ascii_path = data_dir / "ascii" / form[:3] / form[:7] / f"{form}.txt"
+        if not ascii_path.exists():
+            continue
+
+        text_dict = parse_lines_txt(ascii_path)
+
+        form_valid = [
+            sid
+            for sid, text in text_dict.items()
+            if len(text) < max_text_len
+            and (strokes_dir / f"{sid}.xml").exists()
+            and (img_dir / f"{sid}.tif").exists()
+        ]
+
+        for sid in form_valid:
+            strokes = parse_strokes_xml(strokes_dir / f"{sid}.xml")
+            strokes = pad_stroke_seq(strokes, maxlength=max_seq_len)
+            if strokes is None:
+                continue
+
+            img = read_img(img_dir / f"{sid}.tif", img_height)
+            if img.shape[1] >= img_width:
+                continue  # reference drops lines wider than img_width
+
+            style_source = sid
+            if len(form_valid) > 1:
+                candidates = [s for s in form_valid if s != sid]
+                style_source = candidates[rng.randint(len(candidates))]
+            style_img = read_img(img_dir / f"{style_source}.tif", img_height)
+            if style_img.shape[1] < img_width:
+                style_img = pad_img(style_img, img_width, img_height)
+            else:
+                style_img = style_img[:, :img_width].astype("float32")
+
+            strokes_all.append(strokes)
+            text_all.append(tokenizer.encode_padded(text_dict[sid], max_text_len))
+            style_imgs.append(style_img)
+            sample_ids.append(sid)
+
+            if max_files and len(sample_ids) >= max_files:
+                done = True
+                break
+        if done:
+            break
+
+    if not sample_ids:
+        raise RuntimeError(f"no valid IAM samples found under {data_dir}")
+
+    logger.info("IAM %s: %d samples; extracting style vectors...", kind, len(sample_ids))
+    style = extract_style_vectors(style_imgs, style_apply_fn, style_batch)
+
+    return IAMCache(
+        strokes=np.stack(strokes_all).astype(np.float32),
+        text=np.stack(text_all).astype(np.int32),
+        style=style,
+        sample_ids=sample_ids,
+    )
+
+
+def extract_style_vectors(style_imgs, style_apply_fn=None, batch: int = 32) -> np.ndarray:
+    """Run the frozen StyleExtractor over padded style images, batched."""
+    if style_apply_fn is None:
+        from dhg.models.style_extractor import init_style_extractor
+
+        _, _, style_apply_fn = init_style_extractor(
+            weights_path=Path("data/mobilenetv2_tv.npz")
+        )
+    out = []
+    imgs = np.stack(style_imgs).astype(np.float32)
+    for i in range(0, len(imgs), batch):
+        out.append(np.asarray(style_apply_fn(imgs[i : i + batch])))
+    return np.concatenate(out).astype(np.float32)
+
+
+def cache_fingerprint(**kwargs) -> str:
+    """Stable fingerprint of dataset-build arguments for cache file naming."""
+    blob = json.dumps({k: str(v) for k, v in sorted(kwargs.items())})
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
+def load_or_build_cache(cache_dir: str | Path, **build_kwargs) -> IAMCache:
+    """Load the packed cache if present, else build and persist it."""
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    fp = cache_fingerprint(**{k: v for k, v in build_kwargs.items() if k != "style_apply_fn"})
+    path = cache_dir / f"iam_cache_{fp}.npz"
+    if path.exists():
+        logger.info("loading packed IAM cache %s", path)
+        return IAMCache.load(path)
+    cache = build_iam_cache(**build_kwargs)
+    cache.save(path)
+    logger.info("saved packed IAM cache %s (%d samples)", path, len(cache))
+    return cache

@@ -1,0 +1,76 @@
+"""Device-resident batch sampling for training.
+
+The reference draws a fresh shuffled DataLoader iterator every step
+(train.py:98), i.e. i.i.d. random batches. Here the whole packed cache lives
+in device memory (IAM fits in a few hundred MB) and batches are gathered
+*inside* the jitted train step via jax.random.randint + take — zero
+host<->device traffic per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class DeviceDataset:
+    """Packed arrays uploaded once; index-gather batching under jit."""
+
+    strokes: jax.Array  # f32 [N, T, 3]
+    text: jax.Array  # i32 [N, L]
+    style: jax.Array  # f32 [N, 14, 1280]
+
+    @classmethod
+    def from_cache(cls, cache, sharding=None) -> "DeviceDataset":
+        def put(x):
+            return jax.device_put(jnp.asarray(x), sharding) if sharding else jnp.asarray(x)
+
+        return cls(put(cache.strokes), put(cache.text), put(cache.style))
+
+    @property
+    def size(self) -> int:
+        return self.strokes.shape[0]
+
+    def sample_batch(self, key: jax.Array, batch_size: int):
+        """Gather a random batch; call inside jit."""
+        idx = jax.random.randint(key, (batch_size,), 0, self.strokes.shape[0])
+        return (
+            jnp.take(self.strokes, idx, axis=0),
+            jnp.take(self.text, idx, axis=0),
+            jnp.take(self.style, idx, axis=0),
+        )
+
+
+def synthetic_cache(
+    n: int = 64,
+    max_seq_len: int = 480,
+    max_text_len: int = 50,
+    seed: int = 0,
+):
+    """A tiny synthetic IAMCache-shaped dataset (no IAM files, no MobileNet).
+
+    Strokes are smooth random walks with sparse pen lifts, texts are random
+    token sequences — enough to exercise the full train/sample path.
+    """
+    from dhg.data.iam import IAMCache
+
+    rng = np.random.RandomState(seed)
+    deltas = rng.randn(n, max_seq_len, 2).astype(np.float32)
+    # Smooth them a little so std-normalization resembles real data.
+    deltas = (deltas + np.roll(deltas, 1, axis=1)) / 2.0
+    deltas /= deltas.std()
+    pen = (rng.rand(n, max_seq_len, 1) < 0.05).astype(np.float32)
+    strokes = np.concatenate([deltas, pen], axis=-1)
+
+    lengths = rng.randint(10, max_text_len - 1, size=n)
+    text = np.zeros((n, max_text_len), dtype=np.int32)
+    for i, l in enumerate(lengths):
+        text[i, :l] = rng.randint(2, 73, size=l)
+        text[i, l] = 1  # EOS
+
+    style = rng.randn(n, 14, 1280).astype(np.float32)
+    return IAMCache(strokes=strokes, text=text, style=style, sample_ids=[f"syn-{i:04d}" for i in range(n)])

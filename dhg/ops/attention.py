@@ -1,0 +1,97 @@
+"""Multi-head attention + sinusoidal positional embeddings.
+
+Parity notes (paths in /root/reference/diffusion_handwriting_generation/):
+  * PosEmbeddings (attention.py:6-23): freq = exp(arange(half) * -ln(10000)/(half-1)),
+    phase scaled by pos_factor, concat(sin, cos), returns [1, T, dim].
+  * scaled_dp_attn (attention.py:26-46): additive mask = mask * -1e9 where the
+    mask flags PADDED key positions with 1.0.
+  * MultiHeadAttention (attention.py:49-87): separate Wq/Wk/Wv/dense Linears,
+    head split d_model // num_heads, softmax over keys.
+
+TPU notes: the softmax runs in float32 regardless of compute dtype; the
+QK^T and PV contractions are jnp.einsum so XLA maps them to the MXU. Shapes
+here (T <= 480, L = 50) fit comfortably in VMEM so a flash decomposition is
+unnecessary; dhg.kernels provides a fused Pallas path for the bottleneck
+self-attention, enabled via use_pallas.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dhg.ops.init import torch_bias_init, torch_kernel_init
+
+
+def pos_embeddings(
+    length: int, dim: int, pos_factor: float = 1.0, dtype: Any = jnp.float32
+) -> jnp.ndarray:
+    """Sinusoidal positional embeddings, [1, length, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
+    phase = jnp.arange(length, dtype=jnp.float32)[:, None] * freqs[None, :] * pos_factor
+    emb = jnp.concatenate([jnp.sin(phase), jnp.cos(phase)], axis=-1)
+    return emb[None].astype(dtype)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(d) + mask * -1e9) v over [B, H, T, D] tensors."""
+    depth = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(depth, q.dtype)
+    )
+    if mask is not None:
+        logits = logits + (mask * -1e9).astype(logits.dtype)
+    weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/out projections."""
+
+    d_model: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        b = q.shape[0]
+        depth = self.d_model // self.num_heads
+
+        def proj(x, name):
+            y = nn.Dense(
+                self.d_model,
+                dtype=self.dtype,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(x.shape[-1]),
+                name=name,
+            )(x)
+            return y.reshape(b, -1, self.num_heads, depth).transpose(0, 2, 1, 3)
+
+        qh = proj(q, "wq")
+        kh = proj(k, "wk")
+        vh = proj(v, "wv")
+
+        out = scaled_dot_product_attention(qh, kh, vh, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
+        return nn.Dense(
+            self.d_model,
+            dtype=self.dtype,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(self.d_model),
+            name="dense",
+        )(out)
