@@ -1,0 +1,36 @@
+# Same CLI surface as the reference Makefile (train/infer/test/format/lint),
+# plus TPU-native extras (bench, cache).
+
+CONFIG = best.yml
+
+TEXT = "Hello World and goodbye"
+SOURCE = "data/lineImages/r07/r07-475/r07-475z-01.tif"
+EXP = "data/best_exp"
+OUTPUT = "prediction"
+CHECKPOINT =
+
+.PHONY: train infer test bench format lint cache
+
+train:
+	python -m dhg.train --config=$(CONFIG)
+
+infer:
+ifdef CHECKPOINT
+	python -m dhg.inference --prompt=$(TEXT) --source=$(SOURCE) \
+		--experiment_path=$(EXP) --checkpoint_path=$(CHECKPOINT) --output=$(OUTPUT)
+else
+	python -m dhg.inference --prompt=$(TEXT) --source=$(SOURCE) \
+		--experiment_path=$(EXP) --output=$(OUTPUT)
+endif
+
+test:
+	python -m pytest -q tests
+
+bench:
+	python bench.py
+
+format:
+	ruff format dhg tests || true
+
+lint:
+	ruff check dhg tests || true

@@ -1,0 +1,104 @@
+"""Benchmark harness — the BASELINE.json north-star metric.
+
+Measures on the current default JAX backend (one TPU chip under the driver):
+  1. denoise steps/sec/chip: batched 60-step sampler (batch 96, T = 392,
+     the 24-char-prompt bucket) — each "denoise step" is one denoiser
+     forward for one line;
+  2. p50 latency per generated line: single-line (batch 1) 60-step sampler.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline, ...extras}.
+
+vs_baseline: the reference publishes no sampler numbers (BASELINE.md). Its
+only quantitative record is training at ~10.4 steps/s @ batch 96 on one
+A100 (~1,000 samples/s, run.log) — one training step costs ~3 denoiser-
+equivalent passes (fwd+bwd), i.e. the A100 sustains ~3,000 denoiser-fwd-
+equivalents/s. We use that as the cross-accelerator baseline for
+denoise steps/sec/chip; the shipped `make infer` path is CPU and far slower
+(BASELINE targets >= 20x vs CPU for a full line; see p50_line_latency_s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhg.core.sampling import diffusion_sample, infer_seq_len
+from dhg.inference import make_denoise_fn
+from dhg.models.denoiser import DiffusionModel
+
+A100_DENOISE_FWD_EQUIV_PER_SEC = 3000.0  # derived from run.log training rate
+
+PROMPT_LEN = 24  # tokens (e.g. "Follow the White Rabbit" + EOS)
+N_STEPS = 60
+
+
+def build(batch: int, seq_len: int, dtype=jnp.bfloat16):
+    model = DiffusionModel(num_layers=2, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    text = jax.random.randint(jax.random.PRNGKey(1), (batch, 50), 1, 73)
+    style = jax.random.normal(jax.random.PRNGKey(2), (batch, 14, 1280))
+    params = model.init(
+        key,
+        jnp.zeros((1, seq_len, 2)),
+        text[:1],
+        jnp.ones((1, 1)),
+        style[:1],
+    )["params"]
+
+    denoise = make_denoise_fn(model, params, text, style)
+
+    @jax.jit
+    def sample(k):
+        return diffusion_sample(denoise, k, batch, seq_len)
+
+    return sample
+
+
+def timed(fn, key, iters: int):
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fn(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return np.asarray(times)
+
+
+def main():
+    seq_len = infer_seq_len(PROMPT_LEN)  # 392
+    key = jax.random.PRNGKey(123)
+
+    # Throughput: batch 96 sampler.
+    batch = 96
+    sample_b = build(batch, seq_len)
+    jax.block_until_ready(sample_b(key))  # compile
+    times_b = timed(sample_b, key, 5)
+    steps_per_sec = N_STEPS * batch / times_b.min()
+
+    # Latency: single line.
+    sample_1 = build(1, seq_len)
+    jax.block_until_ready(sample_1(key))  # compile
+    times_1 = timed(sample_1, key, 10)
+    p50 = float(np.percentile(times_1, 50))
+
+    result = {
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": round(float(steps_per_sec), 2),
+        "unit": "denoiser_fwd/s",
+        "vs_baseline": round(float(steps_per_sec) / A100_DENOISE_FWD_EQUIV_PER_SEC, 3),
+        "p50_line_latency_s": round(p50, 4),
+        "batch": batch,
+        "seq_len": seq_len,
+        "n_diffusion_steps": N_STEPS,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

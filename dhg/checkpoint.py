@@ -1,0 +1,101 @@
+"""Checkpoint I/O — orbax with the reference's file-discovery semantics.
+
+Parity with the reference checkpoint flow (checkpoint.py, train.py:123-137,
+inference.py:28-52), translated from .pth files to orbax directories:
+
+  * periodic `checkpoint_<step>` (params + optimizer state + step + meta);
+  * `model_final` at the end of training (params only);
+  * `model_last` + `checkpoint_last` on KeyboardInterrupt;
+  * inference discovery order: model_final -> model_last -> highest-numbered
+    checkpoint_<N>;
+  * optimizer state never loaded for inference.
+
+Strict superset of the reference: these checkpoints support true resume
+(params + opt state + step), which the reference lacks entirely (its
+checkpoints are save-only; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: Path | str,
+    params: Any,
+    opt_state: Any = None,
+    step: int | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Save a checkpoint directory at `path`."""
+    payload: dict[str, Any] = {"params": _to_numpy(params)}
+    if opt_state is not None:
+        payload["opt_state"] = _to_numpy(opt_state)
+    if step is not None:
+        payload["step"] = step
+    if meta:
+        payload["meta"] = {k: str(v) for k, v in meta.items()}
+    _checkpointer().save(Path(path).absolute(), payload, force=True)
+
+
+def load_checkpoint(path: Path | str) -> dict:
+    """Load a checkpoint directory -> {'params': ..., maybe 'opt_state', 'step'}."""
+    restored = _checkpointer().restore(Path(path).absolute())
+    if "params" not in restored:
+        # A bare params tree (model_final-style saves from older layouts).
+        return {"params": restored}
+    return restored
+
+
+def resolve_checkpoint(experiment_path: Path | str) -> Path | None:
+    """Find the newest checkpoint under an experiment dir (reference order)."""
+    exp = Path(experiment_path)
+    for name in ("model_final", "model_last"):
+        if (exp / name).exists():
+            return exp / name
+    numbered = []
+    for p in exp.glob("checkpoint_*"):
+        try:
+            numbered.append((int(p.name.split("_")[1]), p))
+        except ValueError:
+            continue
+    if numbered:
+        return max(numbered)[1]
+    return None
+
+
+def load_model(
+    config_path: str | Path,
+    checkpoint_path: str | Path,
+    dtype=None,
+):
+    """Reconstruct the DiffusionModel from a run's config.yml and weights.
+
+    Returns (model, params). Mirrors reference load_model
+    (checkpoint.py:256-297) minus device juggling — JAX arrays land on the
+    default device.
+    """
+    from dhg.config import DLConfig
+    from dhg.models.denoiser import DiffusionModel
+
+    cfg = DLConfig.load(config_path)
+    model = DiffusionModel.from_config(cfg.training_args, dtype=dtype)
+    restored = load_checkpoint(checkpoint_path)
+    params = jax.tree.map(jax.numpy.asarray, restored["params"])
+    return model, params

@@ -1,0 +1,137 @@
+"""Inference runtime — the 60-step sampler as ONE compiled XLA program.
+
+Parity with the reference CLI (inference.py:19-102):
+  * checkpoint resolution from experiment_path: model_final -> model_last ->
+    highest-numbered checkpoint_<N>;
+  * style vector from the source image via the frozen StyleExtractor;
+  * sequence length = 16 * len(tokens), bumped to the next multiple of 8;
+  * 60-step reverse loop with sigma = sqrt(alpha_bar_i), "new" (default) or
+    "standard" step rule; pen lifts from the last step appended as channel 3;
+  * PNG rendered via show_strokes to ./<output>.png.
+
+TPU-native differences: the whole loop is jax.lax.scan inside one jit
+(dhg.core.sampling), so a line is a single device program instead of 60
+Python-dispatched forwards; generate_batch() samples many prompts of varied
+length at once (padded to one bucket) for the batched-sampling benchmark
+configs.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhg.checkpoint import load_model, resolve_checkpoint
+from dhg.config import parse_cli_kwargs
+from dhg.core.sampling import diffusion_sample, infer_seq_len
+from dhg.data.tokenizer import Tokenizer
+from dhg.utils.vis import show_strokes
+
+
+def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
+    """Close text/style conditioning over the per-step denoiser call."""
+
+    def denoise(x, sigma):
+        return model.apply({"params": params}, x, text, sigma, style)
+
+    return denoise
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 7))
+def _sample_jit(model, params, cond, batch_size, seq_len, key, beta_set, mode):
+    text, style = cond
+    fn = make_denoise_fn(model, params, text, style)
+    return diffusion_sample(fn, key, batch_size, seq_len, beta_set, mode=mode)
+
+
+def generate(
+    model,
+    params,
+    text: jnp.ndarray,  # [B, L] int32
+    style: jnp.ndarray,  # [B, 14, 1280]
+    key: jax.Array,
+    seq_len: int | None = None,
+    diffusion_mode: str = "new",
+) -> jnp.ndarray:
+    """Sample stroke sequences [B, seq_len, 3] for tokenized prompts."""
+    if seq_len is None:
+        # Longest prompt in the batch sets the bucket.
+        lengths = np.asarray((text != 0).sum(axis=1))
+        seq_len = infer_seq_len(int(lengths.max()))
+    return _sample_jit(
+        model, params, (text, style), text.shape[0], seq_len, key, None, diffusion_mode
+    )
+
+
+def style_from_image(source: str | Path, img_height: int = 96):
+    """Read a writer-style image and extract its [1, 14, 1280] style vector."""
+    from dhg.data.images import read_img
+    from dhg.models.style_extractor import init_style_extractor
+
+    img = read_img(source, img_height).astype(np.float32)
+    _, _, apply_fn = init_style_extractor(weights_path=Path("data/mobilenetv2_tv.npz"))
+    return apply_fn(img[None])
+
+
+def infer(
+    prompt: str,
+    source: str,
+    config_path: str | None = None,
+    checkpoint_path: str | None = None,
+    experiment_path: str | None = None,
+    output: str = "result",
+    diffusion_mode: str = "new",
+    seed: int = 0,
+    show: bool = False,
+) -> np.ndarray:
+    """End-to-end single-line inference; returns the [T, 3] stroke array."""
+    if experiment_path:
+        exp = Path(experiment_path)
+        if not config_path:
+            config_path = str(exp / "config.yml")
+        if not checkpoint_path:
+            found = resolve_checkpoint(exp)
+            if found is not None:
+                checkpoint_path = str(found)
+
+    if not config_path or not checkpoint_path:
+        raise ValueError(
+            "Both config_path and checkpoint_path must be provided, "
+            "either directly or via experiment_path."
+        )
+
+    model, params = load_model(config_path, checkpoint_path)
+
+    tokenizer = Tokenizer()
+    encoded = tokenizer.encode(prompt)
+    text = jnp.asarray([encoded], jnp.int32)
+    seq_len = infer_seq_len(len(encoded))
+
+    style = jnp.asarray(style_from_image(source))
+
+    strokes = generate(
+        model,
+        params,
+        text,
+        style,
+        jax.random.PRNGKey(seed),
+        seq_len=seq_len,
+        diffusion_mode=diffusion_mode,
+    )
+    result = np.asarray(strokes[0])
+    show_strokes(result, scale=1, name=output, show_output=show)
+    return result
+
+
+def main(argv=None):
+    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    infer(**kwargs)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dhg.ops.init import torch_bias_init, torch_kernel_init
@@ -37,13 +38,12 @@ def pos_embeddings(
     return emb[None].astype(dtype)
 
 
-def scaled_dot_product_attention(
+def _sdpa_jnp(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """softmax(q k^T / sqrt(d) + mask * -1e9) v over [B, H, T, D] tensors."""
     depth = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
         jnp.asarray(depth, q.dtype)
@@ -52,6 +52,45 @@ def scaled_dot_product_attention(
         logits = logits + (mask * -1e9).astype(logits.dtype)
     weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(d) + mask * -1e9) v over [B, H, T, D] tensors.
+
+    Routes through the fused Pallas kernel when DHG_FUSED_ATTENTION=1 on
+    TPU; gradients always flow through the jnp math (custom_vjp).
+    """
+    from dhg.kernels.runtime import use_fused_attention
+
+    if use_fused_attention():
+        return _sdpa_fused(q, k, v, mask)
+    return _sdpa_jnp(q, k, v, mask)
+
+
+@jax.custom_vjp
+def _sdpa_fused(q, k, v, mask):
+    from dhg.kernels.fused_attention import fused_attention
+
+    return fused_attention(q, k, v, mask)
+
+
+def _sdpa_fused_fwd(q, k, v, mask):
+    return _sdpa_fused(q, k, v, mask), (q, k, v, mask)
+
+
+def _sdpa_fused_bwd(res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _sdpa_jnp(q_, k_, v_, mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_sdpa_fused.defvjp(_sdpa_fused_fwd, _sdpa_fused_bwd)
 
 
 class MultiHeadAttention(nn.Module):

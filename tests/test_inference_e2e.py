@@ -1,0 +1,90 @@
+"""End-to-end: tiny train run -> checkpoint -> infer() -> PNG on disk."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from dhg.config import DLConfig, fit_config
+
+
+@pytest.fixture(scope="module")
+def tiny_experiment(tmp_path_factory):
+    """Run a 12-step synthetic training and save model_final + config.yml."""
+    from dhg.checkpoint import save_checkpoint
+    from dhg.train import Trainer
+
+    exp_dir = tmp_path_factory.mktemp("exp")
+    cfg = DLConfig(
+        fit_config(
+            config="smoke.yml",
+            **{
+                "training_args.steps": 12,
+                "training_args.channels": 32,
+                "training_args.att_layers_num": 1,
+                "training_args.batch_size": 4,
+                "training_args.max_files": 8,
+                "training_args.compute_dtype": "float32",
+                "dataset_args.max_seq_len": 96,
+                "dataset_args.max_text_len": 20,
+            },
+        )
+    )
+    t = Trainer(cfg)
+    data = t.load_dataset()
+    state = t.init_state(0)
+    step = t.make_step_fn(data)
+    for i in range(12):
+        state, _ = step(state, jax.random.fold_in(jax.random.PRNGKey(0), i))
+    save_checkpoint(exp_dir / "model_final", state.params)
+    cfg.dump(exp_dir / "config.yml")
+    return exp_dir
+
+
+def test_generate_from_checkpoint(tiny_experiment):
+    from dhg.checkpoint import load_model, resolve_checkpoint
+    from dhg.inference import generate
+    import jax.numpy as jnp
+
+    ckpt = resolve_checkpoint(tiny_experiment)
+    assert ckpt is not None and ckpt.name == "model_final"
+    model, params = load_model(tiny_experiment / "config.yml", ckpt)
+
+    text = jnp.zeros((2, 20), jnp.int32).at[:, :5].set(3).at[:, 5].set(1)
+    style = jnp.zeros((2, 14, 1280))
+    out = generate(model, params, text, style, jax.random.PRNGKey(0), seq_len=96)
+    assert out.shape == (2, 96, 3)
+    arr = np.asarray(out)
+    assert np.all(np.isfinite(arr))
+    assert arr[..., 2].min() >= 0.0 and arr[..., 2].max() <= 1.0
+
+
+def test_infer_cli_produces_png(tiny_experiment, tmp_path, monkeypatch):
+    """Full infer() path with a synthetic style image written to disk."""
+    import cv2
+
+    from dhg.inference import infer
+
+    # Synthetic "handwriting" style image: dark scribble on white.
+    img = np.full((96, 400), 255, np.uint8)
+    rng = np.random.RandomState(0)
+    xs = np.linspace(10, 390, 300).astype(int)
+    ys = (48 + 30 * np.sin(xs / 15.0) + rng.randn(300) * 2).astype(int).clip(5, 90)
+    img[ys, xs] = 0
+    src = tmp_path / "style.png"
+    cv2.imwrite(str(src), img)
+
+    monkeypatch.chdir(tmp_path)  # show_strokes writes ./<output>.png
+    out = infer(
+        prompt="abc",
+        source=str(src),
+        experiment_path=str(tiny_experiment),
+        output="result_test",
+        seed=1,
+    )
+    assert (tmp_path / "result_test.png").exists()
+    assert out.shape[1] == 3
+    # T = 16 * 4 tokens -> 64 -> bumped to 72.
+    assert out.shape[0] == 72

@@ -1,0 +1,76 @@
+"""Sampler tests: step rules vs hand math, determinism, seq-len heuristic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhg.core.sampling import (
+    diffusion_sample,
+    infer_seq_len,
+    new_diffusion_step,
+    standard_diffusion_step,
+)
+
+
+def test_infer_seq_len():
+    # 16*L bumped past the next multiple of 8 (reference inference.py:77-78).
+    assert infer_seq_len(24) == 392
+    assert infer_seq_len(10) == 168
+    assert infer_seq_len(1) == 24
+    for n in range(1, 60):
+        t = infer_seq_len(n)
+        assert t % 8 == 0 and t > 16 * n - 8
+
+
+def test_standard_step_math():
+    xt = jnp.ones((1, 4, 2))
+    eps = jnp.full((1, 4, 2), 0.5)
+    beta, alpha = jnp.float32(0.1), jnp.float32(0.6)
+    noise = jnp.full((1, 4, 2), 2.0)
+    out = standard_diffusion_step(xt, eps, beta, alpha, noise, True)
+    expected = (1 / np.sqrt(0.9)) * (1 - 0.1 * 0.5 / np.sqrt(0.4)) + np.sqrt(0.1) * 2.0
+    assert np.allclose(np.asarray(out), expected, rtol=1e-6)
+    out0 = standard_diffusion_step(xt, eps, beta, alpha, noise, False)
+    expected0 = (1 / np.sqrt(0.9)) * (1 - 0.1 * 0.5 / np.sqrt(0.4))
+    assert np.allclose(np.asarray(out0), expected0, rtol=1e-6)
+
+
+def test_new_step_math():
+    xt = jnp.ones((1, 4, 2))
+    eps = jnp.full((1, 4, 2), 0.5)
+    beta, alpha, a_next = jnp.float32(0.1), jnp.float32(0.6), jnp.float32(0.8)
+    noise = jnp.full((1, 4, 2), 1.0)
+    out = new_diffusion_step(xt, eps, beta, alpha, a_next, noise)
+    expected = (1 - np.sqrt(0.4) * 0.5) / np.sqrt(0.9) + np.sqrt(0.2)
+    assert np.allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def _dummy_denoiser(x, sigma):
+    # Pretend the noise is half the current sample; pen = sigmoid-ish const.
+    return x * 0.5, jnp.full(x.shape[:2], 0.3)
+
+
+def test_sample_shapes_and_determinism():
+    key = jax.random.PRNGKey(42)
+    out1 = diffusion_sample(_dummy_denoiser, key, 2, 48)
+    out2 = diffusion_sample(_dummy_denoiser, key, 2, 48)
+    assert out1.shape == (2, 48, 3)
+    assert np.allclose(np.asarray(out1), np.asarray(out2))
+    # Pen channel comes from the final step's pen head.
+    assert np.allclose(np.asarray(out1[..., 2]), 0.3)
+    out3 = diffusion_sample(_dummy_denoiser, jax.random.PRNGKey(7), 2, 48)
+    assert not np.allclose(np.asarray(out1[..., :2]), np.asarray(out3[..., :2]))
+
+
+def test_sample_modes_differ():
+    key = jax.random.PRNGKey(0)
+    a = diffusion_sample(_dummy_denoiser, key, 1, 24, mode="new")
+    b = diffusion_sample(_dummy_denoiser, key, 1, 24, mode="standard")
+    assert not np.allclose(np.asarray(a[..., :2]), np.asarray(b[..., :2]))
+
+
+def test_sample_under_jit():
+    f = jax.jit(lambda k: diffusion_sample(_dummy_denoiser, k, 1, 24))
+    out = f(jax.random.PRNGKey(0))
+    assert out.shape == (1, 24, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
