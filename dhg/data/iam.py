@@ -193,6 +193,31 @@ def cache_fingerprint(**kwargs) -> str:
     return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
 
+class IAMDataset:
+    """Map-style dataset view over the packed cache — drop-in familiarity
+    for users of the reference IAMDataset (dataset.py:22-157). Training
+    itself never iterates this (batches are gathered on-device); it exists
+    for inspection, eval loops, and API compatibility.
+    """
+
+    def __init__(self, cache: IAMCache | None = None, **build_kwargs):
+        self.cache = cache if cache is not None else build_iam_cache(**build_kwargs)
+
+    def __len__(self) -> int:
+        return len(self.cache)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        return {
+            "strokes": self.cache.strokes[idx],
+            "text": self.cache.text[idx],
+            "style": self.cache.style[idx],
+        }
+
+    @property
+    def dataset(self) -> "IAMDataset":
+        return self
+
+
 def load_or_build_cache(cache_dir: str | Path, **build_kwargs) -> IAMCache:
     """Load the packed cache if present, else build and persist it."""
     cache_dir = Path(cache_dir)

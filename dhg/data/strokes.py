@@ -52,8 +52,23 @@ def parse_strokes_xml(xml_path: PathLike | str) -> np.ndarray:
     # Normalize by the global std over both delta channels.
     strokes[:, :2] /= np.std(strokes[:, :2])
 
-    for _ in range(3):
-        strokes = combine_strokes(strokes, int(len(strokes) * 0.2))
+    return simplify_strokes(strokes, passes=3, frac=0.2)
+
+
+def simplify_strokes(strokes: np.ndarray, passes: int = 3, frac: float = 0.2) -> np.ndarray:
+    """combine_strokes applied `passes` times, each merging frac of pairs.
+
+    Uses the native C++ pipeline (dhg.native) when available; the numpy path
+    below is the reference implementation and produces identical output
+    (both use stable cost ordering).
+    """
+    from dhg.native import simplify_strokes_native
+
+    out = simplify_strokes_native(strokes, passes=passes, frac=frac)
+    if out is not None:
+        return out
+    for _ in range(passes):
+        strokes = combine_strokes(strokes, int(len(strokes) * frac))
     return strokes
 
 
@@ -67,8 +82,11 @@ def combine_strokes(x: np.ndarray, n: int) -> np.ndarray:
     def norms(v):
         return np.linalg.norm(v, axis=1)
 
+    # Stable ordering so ties (exactly-collinear pairs) resolve identically
+    # in the numpy and native paths. (The reference's unstable introsort
+    # leaves tie order unspecified anyway, utils/io.py:141.)
     values = norms(s) + norms(s_neighbors) - norms(s + s_neighbors)
-    ind = np.argsort(values)[:n]
+    ind = np.argsort(values, kind="stable")[:n]
 
     x[ind * 2] += x[ind * 2 + 1]
     x[ind * 2, 2] = np.greater(x[ind * 2, 2], 0)

@@ -68,6 +68,36 @@ def generate(
     )
 
 
+def sample_lines(
+    model,
+    params,
+    prompts: list[str],
+    style: jnp.ndarray,  # [1 or B, 14, 1280]
+    key: jax.Array,
+    max_text_len: int = 50,
+    diffusion_mode: str = "new",
+) -> list[np.ndarray]:
+    """Batched varied-length sampling (BASELINE config 2).
+
+    All prompts run in ONE padded batch/bucket (one compiled program);
+    each returned array is trimmed to its own 16*len(tokens) heuristic
+    length, so per-line output matches single-prompt inference semantics.
+    """
+    from dhg.data.tokenizer import Tokenizer
+
+    tok = Tokenizer()
+    text = jnp.asarray(tok.encode_batch(prompts, max_text_len))
+    if style.shape[0] == 1 and len(prompts) > 1:
+        style = jnp.broadcast_to(style, (len(prompts),) + style.shape[1:])
+    lengths = [len(p) + 1 for p in prompts]  # + EOS
+    bucket = infer_seq_len(max(lengths))
+    out = generate(
+        model, params, text, style, key, seq_len=bucket, diffusion_mode=diffusion_mode
+    )
+    arr = np.asarray(out)
+    return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
+
+
 def style_from_image(source: str | Path, img_height: int = 96):
     """Read a writer-style image and extract its [1, 14, 1280] style vector."""
     from dhg.data.images import read_img

@@ -1,0 +1,95 @@
+"""Native (C++) data-path kernels, built lazily with g++ and bound via ctypes.
+
+The offline IAM cache build spends its CPU time in stroke simplification
+(3x combine pass per line over ~10k lines). dhg_simplify_strokes runs the
+whole pipeline in one native call. Falls back to the numpy implementation in
+dhg.data.strokes when no compiler is available (DHG_NATIVE=0 disables).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).parent / "stroke_ops.cpp"
+_LIB = Path(__file__).parent / "_stroke_ops.so"
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:  # pragma: no cover
+        logger.warning("native build unavailable: %s", e)
+        return False
+    if res.returncode != 0:  # pragma: no cover
+        logger.warning("native build failed:\n%s", res.stderr)
+        return False
+    return True
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("DHG_NATIVE", "1") != "1":
+        return None
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError as e:  # pragma: no cover
+        logger.warning("native load failed: %s", e)
+        return None
+
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.dhg_simplify_strokes.argtypes = [
+        dbl_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_double,
+        dbl_p,
+    ]
+    lib.dhg_simplify_strokes.restype = ctypes.c_int64
+    lib.dhg_combine_strokes.argtypes = [dbl_p, ctypes.c_int64, ctypes.c_int64, dbl_p]
+    lib.dhg_combine_strokes.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def _as_c(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def simplify_strokes_native(xyz: np.ndarray, passes: int = 3, frac: float = 0.2):
+    """Native full pipeline; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+    out = np.empty_like(xyz)
+    n_out = lib.dhg_simplify_strokes(_as_c(xyz), xyz.shape[0], passes, frac, _as_c(out))
+    return out[:n_out].copy()
+
+
+def combine_strokes_native(xyz: np.ndarray, n_merge: int):
+    """Single native combine pass; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+    out = np.empty_like(xyz)
+    n_out = lib.dhg_combine_strokes(_as_c(xyz), xyz.shape[0], n_merge, _as_c(out))
+    return out[:n_out].copy()

@@ -60,6 +60,18 @@ def noam_schedule(d_model: int, warmup_steps: int, lr_mul: float = 1.0):
     return schedule
 
 
+def clip_transform(value: float, mode: str = "norm") -> optax.GradientTransformation:
+    """Gradient clipping dispatch — modes norm | value | agc
+    (reference utils/clip_grad.py:27-49; agc is the NFNet adaptive clip)."""
+    if mode == "norm":
+        return optax.clip_by_global_norm(value)
+    if mode == "value":
+        return optax.clip(value)
+    if mode == "agc":
+        return optax.adaptive_grad_clip(value, eps=1e-3)
+    raise KeyError(f"Unknown clip mode ({mode}).")
+
+
 def make_optimizer(cfg: DLConfig) -> optax.GradientTransformation:
     """Build the optax chain from the reference YAML optimizer schema."""
     kind, params = object_from_dict(dict(cfg.optimizer))
@@ -70,7 +82,7 @@ def make_optimizer(cfg: DLConfig) -> optax.GradientTransformation:
 
     chain: list[optax.GradientTransformation] = []
     if ta.clip_grad is not None:
-        chain.append(optax.clip_by_global_norm(ta.clip_grad))
+        chain.append(clip_transform(ta.clip_grad, ta.clip_mode or "norm"))
     if kind == "adam":
         # torch.optim.Adam: weight decay is L2 on the gradient, pre-moments.
         if wd:
@@ -200,11 +212,35 @@ class Trainer:
 
     # -- the loop ------------------------------------------------------------
 
+    def resume_state(self, state: TrainState, resume_from: str) -> tuple[TrainState, int]:
+        """True resume (params + opt state + step) — a capability the
+        reference lacks (its checkpoints are save-only, SURVEY.md §5)."""
+        from dhg.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(resume_from)
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        start = int(restored.get("step", 0))
+        opt_state = state.opt_state
+        if "opt_state" in restored:
+            opt_state = jax.tree.map(
+                lambda tmpl, v: jnp.asarray(v).astype(tmpl.dtype).reshape(tmpl.shape),
+                state.opt_state,
+                restored["opt_state"],
+            )
+        return (
+            TrainState(step=jnp.asarray(start, jnp.int32), params=params, opt_state=opt_state),
+            start,
+        )
+
     def train(self, meta: dict, logger) -> TrainState:
         cfg = self.cfg
         ta = cfg.training_args
         data = self.load_dataset()
         state = self.init_state(cfg.experiment.seed or 0)
+        start_step = 0
+        if cfg.experiment.resume_from:
+            state, start_step = self.resume_state(state, cfg.experiment.resume_from)
+            logger.info(f"Resumed from {cfg.experiment.resume_from} at step {start_step}")
         step_fn = self.make_step_fn(data)
         root_key = jax.random.PRNGKey((cfg.experiment.seed or 0) + 1)
 
@@ -216,7 +252,7 @@ class Trainer:
         window: list[jax.Array] = []
 
         try:
-            count = 0
+            count = start_step
             while True:
                 count += 1
                 state, metrics = step_fn(state, jax.random.fold_in(root_key, count))

@@ -31,7 +31,7 @@ def test_parse_deltas_and_roll(tmp_path, monkeypatch):
     # Disable combine passes to check the raw parse output.
     import dhg.data.strokes as S
 
-    monkeypatch.setattr(S, "combine_strokes", lambda x, n: x)
+    monkeypatch.setattr(S, "simplify_strokes", lambda x, passes=3, frac=0.2: x)
     out = S.parse_strokes_xml(_write_xml(tmp_path))
     # 5 points -> 4 deltas.
     assert out.shape == (4, 3)
