@@ -36,7 +36,7 @@ PROMPT_LEN = 24  # tokens (e.g. "Follow the White Rabbit" + EOS)
 N_STEPS = 60
 
 
-def build(batch: int, seq_len: int, dtype=jnp.bfloat16):
+def build(batch: int, seq_len: int, dtype=jnp.bfloat16, hoisted: bool = True):
     model = DiffusionModel(num_layers=2, dtype=dtype)
     key = jax.random.PRNGKey(0)
     text = jax.random.randint(jax.random.PRNGKey(1), (batch, 50), 1, 73)
@@ -48,6 +48,14 @@ def build(batch: int, seq_len: int, dtype=jnp.bfloat16):
         jnp.ones((1, 1)),
         style[:1],
     )["params"]
+
+    if hoisted:
+        from dhg.inference import _sample_jit
+
+        def sample(k):
+            return _sample_jit(model, params, (text, style), batch, seq_len, k, None, "new")
+
+        return sample
 
     denoise = make_denoise_fn(model, params, text, style)
 

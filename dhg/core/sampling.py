@@ -68,26 +68,30 @@ def infer_seq_len(num_tokens: int) -> int:
 
 
 def diffusion_sample(
-    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    denoise_fn: Callable,
     key: jax.Array,
     batch_size: int,
     seq_len: int,
     beta_set: jnp.ndarray | None = None,
     mode: str = "new",
     dtype=jnp.float32,
+    step_ctx=None,
 ) -> jnp.ndarray:
     """Run the full reverse-diffusion loop as one lax.scan.
 
     Args:
       denoise_fn: (x [B,T,2], sigma [B,1]) -> (eps_pred [B,T,2], pen [B,T]).
-        Text/style conditioning should be closed over (they are loop
-        constants, so XLA hoists their encoder to outside the scan when the
-        model is written that way; see DiffusionModel.encode_cond).
+        Text/style conditioning should be closed over — OR precomputed per
+        step and passed via step_ctx (below), which keeps the conditioning
+        encoder entirely outside the scan.
       key: PRNG key. The initial x ~ N(0,1) and all per-step noise come
         from deterministic splits of this key.
       batch_size, seq_len: output shape (seq_len must be a multiple of 8).
       beta_set: noise schedule (defaults to the canonical 60-step table).
       mode: "new" (default, the paper's rule) or "standard" (DDPM ancestral).
+      step_ctx: optional pytree with leading dim n_steps, scanned in REVERSE
+        schedule order (entry t corresponds to schedule index n-1-t). When
+        given, denoise_fn is called as denoise_fn(x, sigma, ctx_t).
 
     Returns:
       strokes [B, T, 3]: (dx, dy) from the final x plus the last step's
@@ -111,11 +115,14 @@ def diffusion_sample(
     )
 
     def body(x, per_step):
-        i, alpha_next, k = per_step
+        i, alpha_next, k, ctx = per_step
         alpha = alpha_set[i]
         beta = beta_set[i]
         sigma = jnp.sqrt(alpha) * jnp.ones((batch_size, 1), dtype)
-        eps_pred, pen = denoise_fn(x, sigma)
+        if step_ctx is None:
+            eps_pred, pen = denoise_fn(x, sigma)
+        else:
+            eps_pred, pen = denoise_fn(x, sigma, ctx)
         noise = jax.random.normal(k, x.shape, dtype)
         if mode == "standard":
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
@@ -123,5 +130,6 @@ def diffusion_sample(
             x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
         return x_next, pen
 
-    x_final, pens = jax.lax.scan(body, x0, (idxs, alpha_next_set, step_keys))
+    xs = (idxs, alpha_next_set, step_keys, step_ctx)
+    x_final, pens = jax.lax.scan(body, x0, xs)
     return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)

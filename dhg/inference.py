@@ -34,7 +34,8 @@ from dhg.utils.vis import show_strokes
 
 
 def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
-    """Close text/style conditioning over the per-step denoiser call."""
+    """Close text/style conditioning over the per-step denoiser call
+    (naive path: runs the full conditioning encoder every step)."""
 
     def denoise(x, sigma):
         return model.apply({"params": params}, x, text, sigma, style)
@@ -43,10 +44,53 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 7))
-def _sample_jit(model, params, cond, batch_size, seq_len, key, beta_set, mode):
-    text, style = cond
-    fn = make_denoise_fn(model, params, text, style)
-    return diffusion_sample(fn, key, batch_size, seq_len, beta_set, mode=mode)
+def _sample_jit(model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode):
+    """One XLA program for the whole sampler, with conditioning hoisted.
+
+    sigma depends only on the schedule, so sigma embeddings and the
+    TextStyleEncoder memory for ALL steps are computed in one batched pass
+    before the scan; the scan body runs only the U-Net. Numerically
+    identical to the reference's per-step recompute (inference.py:84-94).
+    """
+    from dhg.core.schedule import get_alpha_set, get_beta_set
+    from dhg.models.denoiser import DiffusionModel
+    from dhg.ops.basic import create_padding_mask
+
+    text, style = cond_inputs
+    if beta_set is None:
+        beta_set = get_beta_set()
+    alpha_set = get_alpha_set(beta_set)
+    n = beta_set.shape[0]
+
+    # Reverse schedule order: scan step t uses schedule index n-1-t.
+    sig_rev = jnp.sqrt(alpha_set)[::-1]
+    sig_b = jnp.broadcast_to(sig_rev[:, None, None], (n, batch_size, 1))
+
+    sigma_embs = jax.vmap(
+        lambda s: model.apply({"params": params}, s, method=DiffusionModel.embed_sigma)
+    )(sig_b)
+    cond_all = jax.vmap(
+        lambda se: model.apply(
+            {"params": params}, text, style, se, method=DiffusionModel.encode_cond
+        )
+    )(sigma_embs)
+    text_mask = create_padding_mask(text)
+
+    def denoise(x, sigma, ctx):
+        se, cond = ctx
+        return model.apply(
+            {"params": params}, x, cond, se, text_mask, method=DiffusionModel.denoise
+        )
+
+    return diffusion_sample(
+        denoise,
+        key,
+        batch_size,
+        seq_len,
+        beta_set,
+        mode=mode,
+        step_ctx=(sigma_embs, cond_all),
+    )
 
 
 def generate(

@@ -23,6 +23,13 @@ conditions all 23 affine layers.
 
 Default channel plan (train.py:140-146): c1 = channels, c2 = channels*3//2,
 c3 = channels*2 — i.e. 128/192/256, bottleneck width 384.
+
+TPU-first structure: the forward is split into `embed_sigma` + `encode_cond`
+(text/style conditioning memory) and `denoise` (the U-Net). Training uses
+the fused __call__; the sampler precomputes (sigma_emb, cond) for ALL 60
+diffusion steps in one batched pass and scans only over `denoise` — the
+TextStyleEncoder never runs inside the sampling loop (numerically identical,
+conditioning depends on sigma but not on x_t).
 """
 
 from __future__ import annotations
@@ -46,7 +53,89 @@ class DiffusionModel(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        c1, c2, c3, dt = self.c1, self.c2, self.c3, self.dtype
+        dr = self.drop_rate
+
+        self.sigma_ffn = FFN(c1 // 4, hidden=2048, dtype=dt)
+        self.text_style_model = TextStyleEncoder(c2 * 2, c2 * 4, dtype=dt)
+
+        self.input_dense = dense(c1, 2, dt)
+        self.enc1 = ConvBlock(c1, dilation=1, drop_rate=dr, dtype=dt)
+        self.enc2 = ConvBlock(c2, dilation=1, drop_rate=dr, dtype=dt)
+        self.enc3 = EncoderLayer(c2, 3, dr, pos_factor=4.0, dtype=dt)
+        self.enc4 = ConvBlock(c3, dilation=1, drop_rate=dr, dtype=dt)
+        self.enc5 = EncoderLayer(c3, 4, dr, pos_factor=2.0, dtype=dt)
+
+        self.att_dense = dense(c2 * 2, c3, dt)
+        # List entries auto-name as att_layers_<i> under setup.
+        self.att_layers = [
+            EncoderLayer(c2 * 2, 6, dr, dtype=dt) for i in range(self.num_layers)
+        ]
+
+        self.skip_conv1 = conv1d_same(c2, c1, dtype=dt)
+        self.skip_conv2 = conv1d_same(c3, c2, dtype=dt)
+        self.skip_conv3 = conv1d_same(c2 * 2, c3, dtype=dt)
+        self.dec3 = ConvBlock(c3, dilation=1, drop_rate=dr, dtype=dt)
+        self.dec2 = ConvBlock(c2, dilation=1, drop_rate=dr, dtype=dt)
+        self.dec1 = ConvBlock(c1, dilation=1, drop_rate=dr, dtype=dt)
+
+        self.output_dense = dense(2, c1, dt)
+        self.pen_lifts_dense = dense(1, c1, dt)
+
+    # -- conditioning (x_t-independent; hoistable out of the sampler loop) --
+
+    def embed_sigma(self, sigma: jnp.ndarray) -> jnp.ndarray:
+        """[B, 1] sqrt(alpha_bar) -> [B, 32] embedding."""
+        return self.sigma_ffn(sigma)
+
+    def encode_cond(
+        self,
+        text: jnp.ndarray,
+        style: jnp.ndarray,
+        sigma_emb: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """[B, L] tokens + [B, 14, 1280] style -> [B, L, 2*c2] memory."""
+        return self.text_style_model(text, style, sigma_emb, deterministic)
+
+    # -- the U-Net ----------------------------------------------------------
+
+    def denoise(
+        self,
+        strokes: jnp.ndarray,
+        cond: jnp.ndarray,
+        sigma_emb: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        x = self.input_dense(strokes)
+
+        h1 = self.enc1(x, sigma_emb, deterministic)
+        h2 = avg_pool_1d(h1)
+        h2 = self.enc2(h2, sigma_emb, deterministic)
+        h2 = self.enc3(h2, cond, sigma_emb, text_mask, deterministic)
+        h3 = avg_pool_1d(h2)
+        h3 = self.enc4(h3, sigma_emb, deterministic)
+        h3 = self.enc5(h3, cond, sigma_emb, text_mask, deterministic)
+
+        x = avg_pool_1d(h3)
+        x = self.att_dense(x)
+        for layer in self.att_layers:
+            x = layer(x, cond, sigma_emb, text_mask, deterministic)
+
+        x = upsample_nearest_1d(x) + self.skip_conv3(h3)
+        x = self.dec3(x, sigma_emb, deterministic)
+        x = upsample_nearest_1d(x) + self.skip_conv2(h2)
+        x = self.dec2(x, sigma_emb, deterministic)
+        x = upsample_nearest_1d(x) + self.skip_conv1(h1)
+        x = self.dec1(x, sigma_emb, deterministic)
+
+        eps_pred = self.output_dense(x)
+        pen = nn.sigmoid(self.pen_lifts_dense(x))[..., 0]
+        # Heads return float32 for numerically stable losses/sampling.
+        return eps_pred.astype(jnp.float32), pen.astype(jnp.float32)
+
     def __call__(
         self,
         strokes: jnp.ndarray,  # [B, T, 2], T % 8 == 0
@@ -55,59 +144,10 @@ class DiffusionModel(nn.Module):
         style: jnp.ndarray,  # [B, 14, 1280]
         deterministic: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        c1, c2, c3 = self.c1, self.c2, self.c3
-        dt = self.dtype
-
-        sigma_emb = FFN(c1 // 4, hidden=2048, dtype=dt, name="sigma_ffn")(sigma)
+        sigma_emb = self.embed_sigma(sigma)
         text_mask = create_padding_mask(text)
-        cond = TextStyleEncoder(c2 * 2, c2 * 4, dtype=dt, name="text_style_model")(
-            text, style, sigma_emb, deterministic
-        )
-
-        x = dense(c1, 2, dt, name="input_dense")(strokes)
-
-        h1 = ConvBlock(c1, dilation=1, drop_rate=self.drop_rate, dtype=dt, name="enc1")(
-            x, sigma_emb, deterministic
-        )
-        h2 = avg_pool_1d(h1)
-        h2 = ConvBlock(c2, dilation=1, drop_rate=self.drop_rate, dtype=dt, name="enc2")(
-            h2, sigma_emb, deterministic
-        )
-        h2 = EncoderLayer(c2, 3, self.drop_rate, pos_factor=4.0, dtype=dt, name="enc3")(
-            h2, cond, sigma_emb, text_mask, deterministic
-        )
-        h3 = avg_pool_1d(h2)
-        h3 = ConvBlock(c3, dilation=1, drop_rate=self.drop_rate, dtype=dt, name="enc4")(
-            h3, sigma_emb, deterministic
-        )
-        h3 = EncoderLayer(c3, 4, self.drop_rate, pos_factor=2.0, dtype=dt, name="enc5")(
-            h3, cond, sigma_emb, text_mask, deterministic
-        )
-
-        x = avg_pool_1d(h3)
-        x = dense(c2 * 2, c3, dt, name="att_dense")(x)
-        for i in range(self.num_layers):
-            x = EncoderLayer(
-                c2 * 2, 6, self.drop_rate, dtype=dt, name=f"att_layers_{i}"
-            )(x, cond, sigma_emb, text_mask, deterministic)
-
-        x = upsample_nearest_1d(x) + conv1d_same(c2 * 2, c3, dtype=dt, name="skip_conv3")(h3)
-        x = ConvBlock(c3, dilation=1, drop_rate=self.drop_rate, dtype=dt, name="dec3")(
-            x, sigma_emb, deterministic
-        )
-        x = upsample_nearest_1d(x) + conv1d_same(c3, c2, dtype=dt, name="skip_conv2")(h2)
-        x = ConvBlock(c2, dilation=1, drop_rate=self.drop_rate, dtype=dt, name="dec2")(
-            x, sigma_emb, deterministic
-        )
-        x = upsample_nearest_1d(x) + conv1d_same(c2, c1, dtype=dt, name="skip_conv1")(h1)
-        x = ConvBlock(c1, dilation=1, drop_rate=self.drop_rate, dtype=dt, name="dec1")(
-            x, sigma_emb, deterministic
-        )
-
-        eps_pred = dense(2, c1, dt, name="output_dense")(x)
-        pen = nn.sigmoid(dense(1, c1, dt, name="pen_lifts_dense")(x))[..., 0]
-        # Heads return float32 for numerically stable losses/sampling.
-        return eps_pred.astype(jnp.float32), pen.astype(jnp.float32)
+        cond = self.encode_cond(text, style, sigma_emb, deterministic)
+        return self.denoise(strokes, cond, sigma_emb, text_mask, deterministic)
 
     @staticmethod
     def from_config(training_args, dtype: Any = None) -> "DiffusionModel":

@@ -251,11 +251,25 @@ class Trainer:
         s = time.time()
         window: list[jax.Array] = []
 
+        # Optional jax.profiler trace (TPU-native replacement for the
+        # reference's wall-clock-only timing, SURVEY.md §5): set
+        # training_args.profile_dir to dump a Perfetto/XProf trace of steps
+        # [profile_start, profile_start + profile_steps).
+        prof_dir = ta.profile_dir
+        prof_start = ta.profile_start or 10
+        prof_steps = ta.profile_steps or 5
+
         try:
             count = start_step
             while True:
                 count += 1
+                if prof_dir and count == prof_start:
+                    jax.profiler.start_trace(str(prof_dir))
                 state, metrics = step_fn(state, jax.random.fold_in(root_key, count))
+                if prof_dir and count == prof_start + prof_steps:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    logger.info(f"Profiler trace written to {prof_dir}")
                 window.append(metrics)  # device arrays; no sync here
 
                 if (count + 1) % ta.log_freq == 0:
