@@ -67,13 +67,44 @@ def build(batch: int, seq_len: int, dtype=jnp.bfloat16, hoisted: bool = True):
 
 
 def timed(fn, key, iters: int):
+    # Sync via host transfer of the (small) output: under the axon remote
+    # runtime block_until_ready can return before execution completes, so a
+    # D2H fetch is the only trustworthy fence. The transferred result is
+    # [B, T, 3] floats (~100 KB) — negligible vs the 60-step sampler.
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
         out = fn(jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        np.asarray(out)
         times.append(time.perf_counter() - t0)
     return np.asarray(times)
+
+
+def bench_training(batch: int = 96, steps: int = 20) -> float:
+    """Fused train-step throughput (steps/s) at the reference's best-run
+    batch size on synthetic data — comparable to run.log's ~10.4 steps/s
+    on one A100."""
+    from dhg.config import DLConfig, fit_config
+    from dhg.train import Trainer
+
+    cfg = DLConfig(
+        fit_config(
+            config="smoke.yml",
+            **{"training_args.batch_size": batch, "training_args.max_files": 256},
+        )
+    )
+    t = Trainer(cfg)
+    data = t.load_dataset()
+    state = t.init_state(0)
+    step = t.make_step_fn(data)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, key)  # compile
+    np.asarray(m)  # D2H fence (see timed())
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, jax.random.fold_in(key, i))
+    np.asarray(m)
+    return steps / (time.perf_counter() - t0)
 
 
 def main():
@@ -93,6 +124,12 @@ def main():
     times_1 = timed(sample_1, key, 10)
     p50 = float(np.percentile(times_1, 50))
 
+    import os
+
+    train_sps = None
+    if os.environ.get("DHG_BENCH_TRAIN", "1") == "1":
+        train_sps = bench_training()
+
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(float(steps_per_sec), 2),
@@ -102,6 +139,8 @@ def main():
         "batch": batch,
         "seq_len": seq_len,
         "n_diffusion_steps": N_STEPS,
+        "train_steps_per_sec_batch96": round(train_sps, 2) if train_sps else None,
+        "train_vs_a100_10.4": round(train_sps / 10.4, 2) if train_sps else None,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

@@ -44,9 +44,14 @@ def save_checkpoint(
     meta: dict | None = None,
 ) -> None:
     """Save a checkpoint directory at `path`."""
+    import flax.serialization
+
     payload: dict[str, Any] = {"params": _to_numpy(params)}
     if opt_state is not None:
-        payload["opt_state"] = _to_numpy(opt_state)
+        # Optimizer state is a nested tuple pytree; orbax would round-trip
+        # tuples as lists, so serialize through flax's state-dict form and
+        # rebuild against a template on restore (Trainer.resume_state).
+        payload["opt_state"] = _to_numpy(flax.serialization.to_state_dict(opt_state))
     if step is not None:
         payload["step"] = step
     if meta:

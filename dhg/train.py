@@ -217,16 +217,17 @@ class Trainer:
         reference lacks (its checkpoints are save-only, SURVEY.md §5)."""
         from dhg.checkpoint import load_checkpoint
 
+        import flax.serialization
+
         restored = load_checkpoint(resume_from)
         params = jax.tree.map(jnp.asarray, restored["params"])
         start = int(restored.get("step", 0))
         opt_state = state.opt_state
         if "opt_state" in restored:
-            opt_state = jax.tree.map(
-                lambda tmpl, v: jnp.asarray(v).astype(tmpl.dtype).reshape(tmpl.shape),
-                state.opt_state,
-                restored["opt_state"],
+            opt_state = flax.serialization.from_state_dict(
+                state.opt_state, restored["opt_state"]
             )
+            opt_state = jax.tree.map(jnp.asarray, opt_state)
         return (
             TrainState(step=jnp.asarray(start, jnp.int32), params=params, opt_state=opt_state),
             start,

@@ -6,7 +6,10 @@ answer to testing multi-chip code without a cluster).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the host environment pins JAX_PLATFORMS to the TPU plugin,
+# where f32 matmuls default to bf16 MXU precision — numerics tests need a
+# real CPU backend (and 8 virtual devices for the sharding tests).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -43,6 +43,9 @@ def tiny_trainer():
         "training_args.batch_size": 4,
         "training_args.max_files": 8,
         "training_args.compute_dtype": "float32",
+        # Short warmup so the Noam LR is non-negligible within 60 test steps
+        # (the real 10k warmup would leave lr ~ 4e-6 at step 60).
+        "training_args.warmup_steps": 100,
         "dataset_args.max_seq_len": 96,
         "dataset_args.max_text_len": 20,
     })
