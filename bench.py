@@ -98,7 +98,11 @@ def bench_training(batch: int = 96, steps: int = 20) -> float:
     state = t.init_state(0)
     step = t.make_step_fn(data)
     key = jax.random.PRNGKey(0)
-    state, m = step(state, key)  # compile
+    # Two warm-up steps: the first compiles; the second absorbs the one-time
+    # recompile when the returned (donated) state's layouts replace the
+    # init-time ones.
+    for i in range(2):
+        state, m = step(state, jax.random.fold_in(key, 1000 + i))
     np.asarray(m)  # D2H fence (see timed())
     t0 = time.perf_counter()
     for i in range(steps):

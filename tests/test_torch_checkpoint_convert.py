@@ -10,8 +10,14 @@ from dhg.models.denoiser import DiffusionModel
 from dhg.tools.convert_torch_checkpoint import convert_state_dict
 
 
-def _fake_reference_state_dict(num_layers=1, c1=32, c2=48, c3=64):
-    """Build a state_dict with the reference's names/shapes (random values)."""
+def _fake_reference_state_dict(num_layers=1, c1=128, c2=192, c3=256):
+    """Build a state_dict with the reference's names/shapes (random values).
+
+    Uses the default 128/192/256 channel plan: the reference hard-codes the
+    affine conditioning input width at 32 (conditioning.py:9), which equals
+    c1 // 4 only for channels=128 — real reference checkpoints always
+    satisfy this.
+    """
     rng = np.random.RandomState(0)
     sd: dict[str, np.ndarray] = {}
 
@@ -85,7 +91,7 @@ def test_converted_tree_matches_model_exactly():
     sd = _fake_reference_state_dict()
     converted = convert_state_dict(sd)
 
-    model = DiffusionModel(num_layers=1, c1=32, c2=48, c3=64)
+    model = DiffusionModel(num_layers=1)
     variables = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0),
@@ -111,7 +117,7 @@ def test_converted_params_run_forward():
     # Scale down: random N(0,1) weights explode activations; forward only
     # needs to be finite-checkable.
     params = jax.tree.map(lambda x: x * 0.05, params)
-    model = DiffusionModel(num_layers=1, c1=32, c2=48, c3=64)
+    model = DiffusionModel(num_layers=1)
     eps, pen = model.apply(
         {"params": params},
         jnp.zeros((1, 24, 2)),
