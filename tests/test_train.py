@@ -43,9 +43,11 @@ def tiny_trainer():
         "training_args.batch_size": 4,
         "training_args.max_files": 8,
         "training_args.compute_dtype": "float32",
-        # Short warmup so the Noam LR is non-negligible within 60 test steps
-        # (the real 10k warmup would leave lr ~ 4e-6 at step 60).
-        "training_args.warmup_steps": 100,
+        # Short warmup so the Noam LR is non-negligible within the test steps
+        # (the real 10k warmup would leave lr ~ 4e-6 at step 60), but long
+        # enough not to diverge on the tiny batch; clip tight for stability.
+        "training_args.warmup_steps": 400,
+        "training_args.clip_grad": 1.0,
         "dataset_args.max_seq_len": 96,
         "dataset_args.max_text_len": 20,
     })
@@ -68,17 +70,17 @@ def test_single_train_step(tiny_trainer):
 
 
 def test_loss_decreases_over_steps(tiny_trainer):
-    """~60 steps on 8 synthetic samples must cut the loss substantially."""
+    """~120 steps on 8 synthetic samples must cut the loss substantially."""
     t = tiny_trainer
     data = t.load_dataset()
     state = t.init_state(0)
     step = t.make_step_fn(data)
     key = jax.random.PRNGKey(1)
     losses = []
-    for i in range(60):
+    for i in range(120):
         state, metrics = step(state, jax.random.fold_in(key, i))
         losses.append(float(metrics[0]))
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
-    assert last < first * 0.8, (first, last)
     assert np.all(np.isfinite(losses))
+    assert last < first * 0.8, (first, last)
