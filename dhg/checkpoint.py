@@ -85,22 +85,60 @@ def resolve_checkpoint(experiment_path: Path | str) -> Path | None:
     return None
 
 
+def check_param_keys(expected, restored, strict: bool = True) -> list[str]:
+    """Report missing/unexpected parameter keys (reference parity: the
+    verbose load_state_dict, checkpoint.py:15-89). Returns the messages;
+    raises on mismatch when strict."""
+    import flax
+
+    want = set(flax.traverse_util.flatten_dict(expected, sep="/"))
+    got = set(flax.traverse_util.flatten_dict(restored, sep="/"))
+    msgs = []
+    if got - want:
+        msgs.append(f"unexpected key in source params: {', '.join(sorted(got - want))}")
+    if want - got:
+        msgs.append(f"missing keys in source params: {', '.join(sorted(want - got))}")
+    if msgs:
+        full = "The model and loaded params do not match exactly\n" + "\n".join(msgs)
+        if strict:
+            raise RuntimeError(full)
+        logger.warning(full)
+    return msgs
+
+
 def load_model(
     config_path: str | Path,
     checkpoint_path: str | Path,
     dtype=None,
+    strict: bool = True,
 ):
     """Reconstruct the DiffusionModel from a run's config.yml and weights.
 
     Returns (model, params). Mirrors reference load_model
     (checkpoint.py:256-297) minus device juggling — JAX arrays land on the
-    default device.
+    default device. Key mismatches are reported like the reference's
+    verbose loader (raise when strict, warn otherwise).
     """
+    import jax.numpy as jnp
+
     from dhg.config import DLConfig
     from dhg.models.denoiser import DiffusionModel
 
     cfg = DLConfig.load(config_path)
     model = DiffusionModel.from_config(cfg.training_args, dtype=dtype)
     restored = load_checkpoint(checkpoint_path)
-    params = jax.tree.map(jax.numpy.asarray, restored["params"])
+
+    t = cfg.dataset_args.max_seq_len or 480
+    expected = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, t, 2)),
+            jnp.zeros((1, cfg.dataset_args.max_text_len or 50), jnp.int32),
+            jnp.ones((1, 1)),
+            jnp.zeros((1, 14, 1280)),
+        )
+    )["params"]
+    check_param_keys(expected, restored["params"], strict=strict)
+
+    params = jax.tree.map(jnp.asarray, restored["params"])
     return model, params
