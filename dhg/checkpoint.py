@@ -32,6 +32,53 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+class AsyncSaver:
+    """Background-thread checkpoint writer.
+
+    Orbax saves over this environment's remote FS take ~30 s; blocking the
+    train loop on that (as the reference does with torch.save,
+    train.py:123-126) costs ~300 steps at TPU rates. Saves are handed to a
+    single worker thread; `wait()` drains it (called at run end and before
+    interrupt saves).
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Exception | None = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, kwargs = item
+            try:
+                save_checkpoint(path, **kwargs)
+            except Exception as e:  # pragma: no cover
+                logger.warning("async checkpoint save failed for %s: %s", path, e)
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, path, params, opt_state=None, **kwargs):
+        # Snapshot to host numpy NOW: the train loop donates these buffers
+        # to the next step, so reading them later from the worker thread
+        # would hit invalidated memory.
+        if opt_state is not None:
+            kwargs["opt_state"] = _to_numpy(opt_state)
+        self._q.put((path, {"params": _to_numpy(params), **kwargs}))
+
+    def wait(self):
+        self._q.join()
+        if self._err is not None:
+            raise self._err
+
+
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 

@@ -24,12 +24,9 @@ def explin(min_val: float, max_val: float, num: int) -> jnp.ndarray:
     return jnp.exp(jnp.linspace(jnp.log(min_val), jnp.log(max_val), num))
 
 
-_explin = explin
-
-
 def get_beta_set(n_steps: int = N_STEPS) -> jnp.ndarray:
     """The fixed 60-value beta schedule: 0.02 + explin(1e-5, 0.4, 60)."""
-    return 0.02 + _explin(1e-5, 0.4, n_steps)
+    return 0.02 + explin(1e-5, 0.4, n_steps)
 
 
 def get_alpha_set(beta_set: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -26,8 +26,6 @@ import numpy as np
 
 from dhg.models.mobilenetv2 import INVERTED_RESIDUAL_SETTINGS
 
-PREFIX = "style_extractor"  # flat key root used by _fill_from_flat
-
 
 def _conv_w(w: np.ndarray, depthwise: bool = False) -> np.ndarray:
     # torch [out, in/groups, kh, kw] -> flax HWIO [kh, kw, in/groups, out]

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from dhg.checkpoint import save_checkpoint
+from dhg.checkpoint import AsyncSaver, save_checkpoint
 from dhg.config import DLConfig, config_entrypoint, object_from_dict
 from dhg.core.losses import diffusion_loss
 from dhg.core.schedule import get_alpha_set, sample_alphas
@@ -117,6 +117,7 @@ class Trainer:
             mesh_cfg = ta.mesh if isinstance(ta.mesh, dict) else {}
             mesh = make_mesh(model_parallel=mesh_cfg.get("model_parallel") or 1)
         self.mesh = mesh
+        self.saver = AsyncSaver()
 
     # -- state ---------------------------------------------------------------
 
@@ -287,7 +288,7 @@ class Trainer:
 
                 if (count + 1) % ta.save_freq == 0:
                     logger.info("Saving checkpoint...")
-                    save_checkpoint(
+                    self.saver.submit(
                         exp_dir / f"checkpoint_{count + 1}",
                         state.params,
                         opt_state=state.opt_state,
@@ -297,11 +298,13 @@ class Trainer:
 
                 if count >= ta.steps:
                     logger.info("Training finished, saving model weights.")
-                    save_checkpoint(exp_dir / "model_final", state.params)
+                    self.saver.submit(exp_dir / "model_final", state.params)
+                    self.saver.wait()
                     logger.info(str(exp_dir / "model_final"))
                     break
         except KeyboardInterrupt:
             logger.info("Training interrupted by user.")
+            self.saver.wait()
             save_checkpoint(
                 exp_dir / "checkpoint_last",
                 state.params,
@@ -309,6 +312,7 @@ class Trainer:
                 step=count,
             )
             save_checkpoint(exp_dir / "model_last", state.params)
+        self.saver.wait()
         return state
 
 
