@@ -18,9 +18,16 @@ import numpy as np
 
 
 def remove_whitespace(img: np.ndarray, thresh: float) -> np.ndarray:
-    rows = np.nonzero(np.amin(img, axis=1) < thresh)[0]
-    cols = np.nonzero(np.amin(img, axis=0) < thresh)[0]
-    return img[rows[0] : rows[-1], cols[0] : cols[-1]]
+    """Crop to the dark-pixel bounding box, exclusive of the last dark
+    row/col (reference quirk: img[r0:r_last, c0:c_last])."""
+    dark = img < thresh
+    row_has = dark.any(axis=1)
+    col_has = dark.any(axis=0)
+    r0 = int(np.argmax(row_has))
+    r1 = len(row_has) - 1 - int(np.argmax(row_has[::-1]))
+    c0 = int(np.argmax(col_has))
+    c1 = len(col_has) - 1 - int(np.argmax(col_has[::-1]))
+    return img[r0:r1, c0:c1]
 
 
 def read_img(path: PathLike | str, height: int) -> np.ndarray:

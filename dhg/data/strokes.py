@@ -73,26 +73,44 @@ def simplify_strokes(strokes: np.ndarray, passes: int = 3, frac: float = 0.2) ->
 
 
 def combine_strokes(x: np.ndarray, n: int) -> np.ndarray:
-    """Merge the n most-collinear consecutive (even, odd) delta pairs."""
-    s = x[::2, :2]
-    s_neighbors = x[1::2, :2]
-    if len(x) % 2 != 0:
-        s = s[:-1]
+    """Merge the n most-collinear consecutive (even, odd) delta pairs.
 
-    def norms(v):
-        return np.linalg.norm(v, axis=1)
+    Collinearity cost of a pair (a, b) is |a| + |b| - |a + b| (zero iff the
+    deltas point the same way); the n cheapest pairs are summed, their
+    pen-lift bits OR'd, the odd partner dropped, and the survivors
+    re-normalized by the global delta std. Stable cost ordering so ties
+    resolve identically in the numpy and native (C++) paths — the
+    reference's unstable introsort leaves tie order unspecified anyway
+    (utils/io.py:141).
+    """
+    n_pairs = len(x) // 2
+    even = x[0 : 2 * n_pairs : 2]
+    odd = x[1 : 2 * n_pairs : 2]
 
-    # Stable ordering so ties (exactly-collinear pairs) resolve identically
-    # in the numpy and native paths. (The reference's unstable introsort
-    # leaves tie order unspecified anyway, utils/io.py:141.)
-    values = norms(s) + norms(s_neighbors) - norms(s + s_neighbors)
-    ind = np.argsort(values, kind="stable")[:n]
+    mag = np.sqrt((even[:, :2] ** 2).sum(1))
+    mag_next = np.sqrt((odd[:, :2] ** 2).sum(1))
+    mag_sum = np.sqrt(((even[:, :2] + odd[:, :2]) ** 2).sum(1))
+    cost = mag + mag_next - mag_sum
 
-    x[ind * 2] += x[ind * 2 + 1]
-    x[ind * 2, 2] = np.greater(x[ind * 2, 2], 0)
-    x = np.delete(x, ind * 2 + 1, axis=0)
-    x[:, :2] /= np.std(x[:, :2])
-    return x
+    merge = np.zeros(n_pairs, dtype=bool)
+    merge[np.argsort(cost, kind="stable")[:n]] = True
+
+    merged = even.copy()
+    merged[merge, :2] += odd[merge, :2]
+    merged[merge, 2] = (even[merge, 2] + odd[merge, 2]) > 0
+
+    # Survivors in original order: merged even rows, odd rows of unmerged
+    # pairs, plus the trailing unpaired row when the length is odd.
+    out_rows = []
+    for p in range(n_pairs):
+        out_rows.append(merged[p])
+        if not merge[p]:
+            out_rows.append(odd[p])
+    if len(x) % 2:
+        out_rows.append(x[-1])
+    out = np.stack(out_rows)
+    out[:, :2] /= np.std(out[:, :2])
+    return out
 
 
 def pad_stroke_seq(x: np.ndarray, maxlength: int) -> np.ndarray | None:

@@ -1,7 +1,16 @@
-"""Stroke rendering (reference utils/vis.py:5-49).
+"""Stroke rendering (behavior parity with reference utils/vis.py:5-49).
 
-cumsum deltas -> absolute positions; polylines split at rounded pen-lift==1
-points, the pen-up point excluded from its line; PNG saved as ./<name>.png.
+Rendering contract, reproduced exactly:
+  * absolute positions = cumsum of the (dx, dy) deltas;
+  * the pen channel is rounded; a 1 at index i means the segment ARRIVING at
+    point i was a pen-up move, so point i is excluded from the polyline it
+    terminates and starts the next one;
+  * anything after the LAST pen-up point is not drawn (reference loop quirk);
+  * figure is (scale * w/h, scale) inches, axes off, saved to ./<name>.png.
+
+Implementation differs from the reference: instead of one plt.plot call per
+segment, the polyline is drawn in a single call with NaN breaks inserted at
+pen-up points (same pixels, O(1) matplotlib calls).
 """
 
 from __future__ import annotations
@@ -19,23 +28,36 @@ def show_strokes(
     show_output: bool = True,
     scale: int = 1,
 ) -> None:
-    """Plot a [T, 3] stroke sequence to a PNG."""
-    positions = np.cumsum(strokes, axis=0).T[:2]
-    pen_lifts = strokes[:, 2].round()
-    w, h = np.max(positions, axis=-1) - np.min(positions, axis=-1)
+    """Render a [T, 3] (dx, dy, pen) stroke sequence."""
+    seq = np.asarray(strokes, dtype=float)
+    xy = np.cumsum(seq[:, :2], axis=0)
+    pen_up = np.flatnonzero(seq[:, 2].round() == 1)
 
-    plt.figure(figsize=(scale * w / h, scale))
+    extent = xy.max(axis=0) - xy.min(axis=0)
+    w, h = float(extent[0]), max(float(extent[1]), 1e-6)
+
+    plt.figure(figsize=(min(scale * w / h, 100.0), scale))
     plt.axis("off")
 
-    prev_ind = 0
-    for ind, is_end in enumerate(pen_lifts):
-        if is_end:
-            plt.plot(
-                positions[0][prev_ind:ind],
-                positions[1][prev_ind:ind],
-                color="black",
-            )
-            prev_ind = ind
+    if pen_up.size:
+        # Draw only up to the last pen-up point; break lines by masking the
+        # pen-up points themselves to NaN (they belong to no polyline *end*
+        # — each starts the following segment, so re-insert it as NaN row
+        # followed by the point itself starting the next run).
+        last = pen_up[-1]
+        pts = xy[:last].astype(float)
+        breaks = pen_up[pen_up < last]
+        # Build plot array with an extra NaN row before each break point.
+        nan_row = np.full((1, 2), np.nan)
+        pieces = []
+        prev = 0
+        for b in breaks:
+            pieces.append(pts[prev:b])
+            pieces.append(nan_row)
+            prev = b
+        pieces.append(pts[prev:])
+        path = np.concatenate(pieces, axis=0)
+        plt.plot(path[:, 0], path[:, 1], color="black")
 
     if name:
         plt.savefig(f"./{name}.png", bbox_inches="tight")

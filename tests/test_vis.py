@@ -1,0 +1,60 @@
+"""Renderer semantics: segment splitting, tail truncation, PNG output."""
+
+import numpy as np
+import pytest
+
+from dhg.utils import vis
+
+
+def _collect_plots(monkeypatch):
+    calls = []
+
+    def fake_plot(xs, ys, **kw):
+        calls.append((np.asarray(xs), np.asarray(ys)))
+
+    monkeypatch.setattr(vis.plt, "plot", fake_plot)
+    monkeypatch.setattr(vis.plt, "figure", lambda **kw: None)
+    monkeypatch.setattr(vis.plt, "axis", lambda *a, **kw: None)
+    monkeypatch.setattr(vis.plt, "close", lambda *a, **kw: None)
+    monkeypatch.setattr(vis.plt, "savefig", lambda *a, **kw: None)
+    return calls
+
+
+def test_segments_split_at_pen_up(monkeypatch):
+    calls = _collect_plots(monkeypatch)
+    strokes = np.zeros((10, 3))
+    strokes[:, 0] = 1.0
+    strokes[:, 1] = 0.5
+    strokes[4, 2] = 1.0
+    strokes[8, 2] = 1.0
+    vis.show_strokes(strokes, show_output=False)
+
+    assert len(calls) == 1
+    xs, ys = calls[0]
+    # Drawn points stop at the LAST pen-up (index 8): tail never rendered.
+    finite = np.isfinite(xs)
+    # One NaN break for the intermediate pen-up at index 4.
+    assert (~finite).sum() == 1
+    # Points drawn: indices 0..7 (8 points) — index 4 excluded from the
+    # first segment but starts the second.
+    assert finite.sum() == 8
+
+
+def test_no_pen_up_draws_nothing(monkeypatch):
+    calls = _collect_plots(monkeypatch)
+    strokes = np.zeros((6, 3))
+    strokes[:, 0] = 1.0
+    strokes[:, 1] = np.linspace(0.1, 1, 6)
+    vis.show_strokes(strokes, show_output=False)
+    # Reference behavior: without any pen-up marker no segment is emitted.
+    assert calls == []
+
+
+def test_png_written(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    strokes = np.zeros((12, 3))
+    strokes[:, 0] = 1.0
+    strokes[:, 1] = np.sin(np.arange(12) / 2.0)
+    strokes[-1, 2] = 1.0
+    vis.show_strokes(strokes, name="out", show_output=False)
+    assert (tmp_path / "out.png").exists()
