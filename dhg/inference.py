@@ -43,14 +43,23 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
     return denoise
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7))
-def _sample_jit(model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode):
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
+def _sample_jit(
+    model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode,
+    guidance_scale=None,
+):
     """One XLA program for the whole sampler, with conditioning hoisted.
 
     sigma depends only on the schedule, so sigma embeddings and the
     TextStyleEncoder memory for ALL steps are computed in one batched pass
     before the scan; the scan body runs only the U-Net. Numerically
     identical to the reference's per-step recompute (inference.py:84-94).
+
+    guidance_scale (static, optional): classifier-free-style guidance, a
+    capability superset of the reference (BASELINE config 5 sweeps it):
+    eps = eps_uncond + g * (eps_cond - eps_uncond), with the unconditional
+    branch fed all-padding text and zero style. g == None or 1.0 skips the
+    second branch entirely.
     """
     from dhg.core.schedule import get_alpha_set, get_beta_set
     from dhg.models.denoiser import DiffusionModel
@@ -69,19 +78,38 @@ def _sample_jit(model, params, cond_inputs, batch_size, seq_len, key, beta_set, 
     sigma_embs = jax.vmap(
         lambda s: model.apply({"params": params}, s, method=DiffusionModel.embed_sigma)
     )(sig_b)
-    cond_all = jax.vmap(
-        lambda se: model.apply(
-            {"params": params}, text, style, se, method=DiffusionModel.encode_cond
-        )
-    )(sigma_embs)
+
+    def encode_all(t, s):
+        return jax.vmap(
+            lambda se: model.apply(
+                {"params": params}, t, s, se, method=DiffusionModel.encode_cond
+            )
+        )(sigma_embs)
+
+    cond_all = encode_all(text, style)
     text_mask = create_padding_mask(text)
 
+    guided = guidance_scale is not None and guidance_scale != 1.0
+    if guided:
+        null_text = jnp.zeros_like(text)
+        # All-padding text would mask every key; leave one EOS token open.
+        null_text = null_text.at[:, 0].set(1)
+        null_cond_all = encode_all(null_text, jnp.zeros_like(style))
+        null_mask = create_padding_mask(null_text)
+
     def denoise(x, sigma, ctx):
-        se, cond = ctx
-        return model.apply(
+        se, cond, null_cond = ctx
+        eps_c, pen = model.apply(
             {"params": params}, x, cond, se, text_mask, method=DiffusionModel.denoise
         )
+        if not guided:
+            return eps_c, pen
+        eps_u, _ = model.apply(
+            {"params": params}, x, null_cond, se, null_mask, method=DiffusionModel.denoise
+        )
+        return eps_u + guidance_scale * (eps_c - eps_u), pen
 
+    step_ctx = (sigma_embs, cond_all, null_cond_all if guided else cond_all)
     return diffusion_sample(
         denoise,
         key,
@@ -89,7 +117,7 @@ def _sample_jit(model, params, cond_inputs, batch_size, seq_len, key, beta_set, 
         seq_len,
         beta_set,
         mode=mode,
-        step_ctx=(sigma_embs, cond_all),
+        step_ctx=step_ctx,
     )
 
 
@@ -101,6 +129,7 @@ def generate(
     key: jax.Array,
     seq_len: int | None = None,
     diffusion_mode: str = "new",
+    guidance_scale: float | None = None,
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts."""
     if seq_len is None:
@@ -108,7 +137,15 @@ def generate(
         lengths = np.asarray((text != 0).sum(axis=1))
         seq_len = infer_seq_len(int(lengths.max()))
     return _sample_jit(
-        model, params, (text, style), text.shape[0], seq_len, key, None, diffusion_mode
+        model,
+        params,
+        (text, style),
+        text.shape[0],
+        seq_len,
+        key,
+        None,
+        diffusion_mode,
+        guidance_scale,
     )
 
 
