@@ -199,6 +199,7 @@ def infer(
     diffusion_mode: str = "new",
     seed: int = 0,
     show: bool = False,
+    guidance_scale: float | None = None,
 ) -> np.ndarray:
     """End-to-end single-line inference; returns the [T, 3] stroke array."""
     if experiment_path:
@@ -233,6 +234,7 @@ def infer(
         jax.random.PRNGKey(seed),
         seq_len=seq_len,
         diffusion_mode=diffusion_mode,
+        guidance_scale=guidance_scale,
     )
     result = np.asarray(strokes[0])
     show_strokes(result, scale=1, name=output, show_output=show)
