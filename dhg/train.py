@@ -211,6 +211,44 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    # -- validation ----------------------------------------------------------
+
+    def load_val_dataset(self):
+        """Validation cache: IAM 'validation' split, or a held-out synthetic
+        set. Returns None when validation is disabled (no val_freq) or the
+        split is empty. (Capability superset: the reference never evaluates
+        its validation split, SURVEY §2.)"""
+        cfg = self.cfg
+        ta = cfg.training_args
+        if not ta.val_freq:
+            return None
+        if (ta.dataset or "iam") == "synthetic":
+            from dhg.data.pipeline import synthetic_cache
+
+            return synthetic_cache(
+                n=max(16, (ta.max_files or 64) // 4),
+                max_seq_len=cfg.dataset_args.max_seq_len or 480,
+                max_text_len=cfg.dataset_args.max_text_len or 50,
+                seed=(cfg.experiment.seed or 0) + 777,
+            )
+        from dhg.data.iam import load_or_build_cache
+
+        try:
+            return load_or_build_cache(
+                cache_dir=ta.cache_dir or "./data/cache",
+                data_dir=cfg.experiment.data_dir,
+                kind="validation",
+                splits_file=cfg.experiment.splits_file,
+                img_height=cfg.dataset_args.img_height or 96,
+                img_width=cfg.dataset_args.img_width or 1400,
+                max_text_len=cfg.dataset_args.max_text_len or 50,
+                max_seq_len=cfg.dataset_args.max_seq_len or 480,
+                max_files=ta.max_files,
+                seed=cfg.experiment.seed or 54321,
+            )
+        except RuntimeError:  # no validation samples on disk
+            return None
+
     # -- the loop ------------------------------------------------------------
 
     def resume_state(self, state: TrainState, resume_from: str) -> tuple[TrainState, int]:
@@ -245,6 +283,8 @@ class Trainer:
             logger.info(f"Resumed from {cfg.experiment.resume_from} at step {start_step}")
         step_fn = self.make_step_fn(data)
         root_key = jax.random.PRNGKey((cfg.experiment.seed or 0) + 1)
+
+        val_cache = self.load_val_dataset()
 
         logger.info(
             f"Starting train model, host: {meta['host_name']}, exp_dir: {meta['exp_dir']}\n"
@@ -285,6 +325,21 @@ class Trainer:
                         f"Time: {time.time() - s:.3f} sec"
                     )
                     window = []
+
+                if val_cache is not None and (count + 1) % ta.val_freq == 0:
+                    from dhg.eval import evaluate
+
+                    v = evaluate(
+                        self.model,
+                        state.params,
+                        val_cache,
+                        batch_size=min(self.batch_size, len(val_cache)),
+                        seed=cfg.experiment.seed or 0,
+                    )
+                    logger.info(
+                        f"Step {count + 1} | Val Loss: {v[0]:.3f} | "
+                        f"Val Score: {v[1]:.3f} | Val Pen: {v[2]:.3f}"
+                    )
 
                 if (count + 1) % ta.save_freq == 0:
                     logger.info("Saving checkpoint...")
