@@ -133,3 +133,72 @@ def diffusion_sample(
     xs = (idxs, alpha_next_set, step_keys, step_ctx)
     x_final, pens = jax.lax.scan(body, x0, xs)
     return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)
+
+
+def diffusion_sample_encoder_reuse(
+    encode_fn: Callable,
+    decode_fn: Callable,
+    key: jax.Array,
+    batch_size: int,
+    seq_len: int,
+    step_ctx,
+    beta_set: jnp.ndarray | None = None,
+    mode: str = "new",
+    reuse_every: int = 1,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Sampler with U-Net encoder-feature caching (experimental speed mode).
+
+    Per Li et al., "Faster Diffusion" (arXiv:2312.09608), U-Net encoder
+    features vary slowly across adjacent diffusion steps. Here the encoder
+    half runs only every `reuse_every` steps; in between, the cached
+    (h1, h2, h3) skip features are decoded against the fresh x_t-independent
+    conditioning. reuse_every=1 is exact (identical math to
+    diffusion_sample); larger values trade fidelity for speed.
+
+    encode_fn(x, ctx) -> feats pytree; decode_fn(feats, ctx) -> (eps, pen).
+    step_ctx follows diffusion_sample's reverse-order convention.
+    """
+    if beta_set is None:
+        beta_set = get_beta_set()
+    beta_set = beta_set.astype(dtype)
+    alpha_set = get_alpha_set(beta_set)
+    n = beta_set.shape[0]
+
+    k_init, k_steps = jax.random.split(key)
+    x0 = jax.random.normal(k_init, (batch_size, seq_len, 2), dtype=dtype)
+    step_keys = jax.random.split(k_steps, n)
+
+    idxs = jnp.arange(n - 1, -1, -1)
+    alpha_next_set = jnp.where(
+        idxs > 1, alpha_set[jnp.maximum(idxs - 1, 0)], jnp.ones((), dtype)
+    )
+    ts = jnp.arange(n)
+
+    ctx0 = jax.tree.map(lambda a: a[0], step_ctx)
+    feat_shapes = jax.eval_shape(encode_fn, x0, ctx0)
+    feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
+
+    def body(carry, per_step):
+        x, feats = carry
+        t, i, alpha_next, k, ctx = per_step
+        alpha = alpha_set[i]
+        beta = beta_set[i]
+
+        feats = jax.lax.cond(
+            t % reuse_every == 0,
+            lambda: encode_fn(x, ctx),
+            lambda: feats,
+        )
+        eps_pred, pen = decode_fn(feats, ctx)
+        noise = jax.random.normal(k, x.shape, dtype)
+        if mode == "standard":
+            x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
+        else:
+            x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
+        return (x_next, feats), pen
+
+    (x_final, _), pens = jax.lax.scan(
+        body, (x0, feats0), (ts, idxs, alpha_next_set, step_keys, step_ctx)
+    )
+    return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)

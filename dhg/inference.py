@@ -43,10 +43,10 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
     return denoise
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9))
 def _sample_jit(
     model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode,
-    guidance_scale=None,
+    guidance_scale=None, encoder_reuse=None,
 ):
     """One XLA program for the whole sampler, with conditioning hoisted.
 
@@ -90,6 +90,40 @@ def _sample_jit(
     text_mask = create_padding_mask(text)
 
     guided = guidance_scale is not None and guidance_scale != 1.0
+
+    if encoder_reuse and encoder_reuse > 1:
+        # Experimental encoder-feature caching (see
+        # dhg.core.sampling.diffusion_sample_encoder_reuse). Exclusive with
+        # guidance for now.
+        assert not guided, "encoder_reuse and guidance_scale are mutually exclusive"
+        from dhg.core.sampling import diffusion_sample_encoder_reuse
+
+        def enc(x, ctx):
+            se, cond = ctx
+            return model.apply(
+                {"params": params}, x, cond, se, text_mask,
+                method=DiffusionModel.encode_unet,
+            )
+
+        def dec(feats, ctx):
+            se, cond = ctx
+            return model.apply(
+                {"params": params}, feats, cond, se, text_mask,
+                method=DiffusionModel.decode_unet,
+            )
+
+        return diffusion_sample_encoder_reuse(
+            enc,
+            dec,
+            key,
+            batch_size,
+            seq_len,
+            (sigma_embs, cond_all),
+            beta_set,
+            mode=mode,
+            reuse_every=encoder_reuse,
+        )
+
     if guided:
         null_text = jnp.zeros_like(text)
         # All-padding text would mask every key; leave one EOS token open.
@@ -130,6 +164,7 @@ def generate(
     seq_len: int | None = None,
     diffusion_mode: str = "new",
     guidance_scale: float | None = None,
+    encoder_reuse: int | None = None,
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts."""
     if seq_len is None:
@@ -146,6 +181,7 @@ def generate(
         None,
         diffusion_mode,
         guidance_scale,
+        encoder_reuse,
     )
 
 

@@ -101,16 +101,21 @@ class DiffusionModel(nn.Module):
 
     # -- the U-Net ----------------------------------------------------------
 
-    def denoise(
+    def encode_unet(
         self,
         strokes: jnp.ndarray,
         cond: jnp.ndarray,
         sigma_emb: jnp.ndarray,
         text_mask: jnp.ndarray,
         deterministic: bool = True,
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        x = self.input_dense(strokes)
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Encoder half: x_t -> (h1 [B,T,c1], h2 [B,T/2,c2], h3 [B,T/4,c3]).
 
+        Split out so the sampler's optional encoder-reuse mode (Li et al.,
+        "Faster Diffusion", arXiv:2312.09608 — encoder features vary slowly
+        across adjacent timesteps) can cache these between steps.
+        """
+        x = self.input_dense(strokes)
         h1 = self.enc1(x, sigma_emb, deterministic)
         h2 = avg_pool_1d(h1)
         h2 = self.enc2(h2, sigma_emb, deterministic)
@@ -118,7 +123,18 @@ class DiffusionModel(nn.Module):
         h3 = avg_pool_1d(h2)
         h3 = self.enc4(h3, sigma_emb, deterministic)
         h3 = self.enc5(h3, cond, sigma_emb, text_mask, deterministic)
+        return h1, h2, h3
 
+    def decode_unet(
+        self,
+        feats: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        cond: jnp.ndarray,
+        sigma_emb: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Bottleneck + decoder half: (h1, h2, h3) -> (eps_pred, pen)."""
+        h1, h2, h3 = feats
         x = avg_pool_1d(h3)
         x = self.att_dense(x)
         for layer in self.att_layers:
@@ -135,6 +151,17 @@ class DiffusionModel(nn.Module):
         pen = nn.sigmoid(self.pen_lifts_dense(x))[..., 0]
         # Heads return float32 for numerically stable losses/sampling.
         return eps_pred.astype(jnp.float32), pen.astype(jnp.float32)
+
+    def denoise(
+        self,
+        strokes: jnp.ndarray,
+        cond: jnp.ndarray,
+        sigma_emb: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        feats = self.encode_unet(strokes, cond, sigma_emb, text_mask, deterministic)
+        return self.decode_unet(feats, cond, sigma_emb, text_mask, deterministic)
 
     def __call__(
         self,

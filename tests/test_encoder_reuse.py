@@ -1,0 +1,67 @@
+"""Encoder-feature-caching sampler mode (experimental speed knob)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dhg.inference import generate
+from dhg.models.denoiser import DiffusionModel
+from dhg.ops.basic import create_padding_mask
+
+
+@pytest.fixture(scope="module")
+def small():
+    model = DiffusionModel(num_layers=1, c1=32, c2=48, c3=64)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 24, 2)),
+        jnp.zeros((1, 20), jnp.int32),
+        jnp.ones((1, 1)),
+        jnp.zeros((1, 14, 1280)),
+    )["params"]
+    text = jnp.zeros((2, 20), jnp.int32).at[:, :4].set(5).at[:, 4].set(1)
+    style = jax.random.normal(jax.random.PRNGKey(2), (2, 14, 1280))
+    return model, params, text, style
+
+
+def test_split_encode_decode_matches_denoise(small):
+    model, params, text, style = small
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 2))
+    sigma = jnp.full((2, 1), 0.6)
+    se = model.apply({"params": params}, sigma, method=DiffusionModel.embed_sigma)
+    cond = model.apply({"params": params}, text, style, se, method=DiffusionModel.encode_cond)
+    mask = create_padding_mask(text)
+
+    eps1, pen1 = model.apply(
+        {"params": params}, x, cond, se, mask, method=DiffusionModel.denoise
+    )
+    feats = model.apply(
+        {"params": params}, x, cond, se, mask, method=DiffusionModel.encode_unet
+    )
+    eps2, pen2 = model.apply(
+        {"params": params}, feats, cond, se, mask, method=DiffusionModel.decode_unet
+    )
+    np.testing.assert_allclose(np.asarray(eps1), np.asarray(eps2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pen1), np.asarray(pen2), rtol=1e-6)
+
+
+def test_reuse_two_runs_and_differs(small):
+    model, params, text, style = small
+    k = jax.random.PRNGKey(3)
+    exact = generate(model, params, text, style, k, seq_len=24)
+    cached = generate(model, params, text, style, k, seq_len=24, encoder_reuse=3)
+    assert cached.shape == exact.shape
+    assert np.all(np.isfinite(np.asarray(cached)))
+    # An approximation: same RNG stream but different features -> different x.
+    assert not np.allclose(np.asarray(cached[..., :2]), np.asarray(exact[..., :2]))
+
+
+def test_reuse_every_one_unsupported_path_matches_exact(small):
+    """encoder_reuse=1 routes through the standard exact sampler."""
+    model, params, text, style = small
+    k = jax.random.PRNGKey(4)
+    a = generate(model, params, text, style, k, seq_len=24)
+    b = generate(model, params, text, style, k, seq_len=24, encoder_reuse=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
