@@ -21,7 +21,6 @@ Re-designs the reference TrainingLoop (train.py:21-189) TPU-first:
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any
 
