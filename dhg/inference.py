@@ -11,9 +11,9 @@ Parity with the reference CLI (inference.py:19-102):
 
 TPU-native differences: the whole loop is jax.lax.scan inside one jit
 (dhg.core.sampling), so a line is a single device program instead of 60
-Python-dispatched forwards; generate_batch() samples many prompts of varied
-length at once (padded to one bucket) for the batched-sampling benchmark
-configs.
+Python-dispatched forwards; sample_lines() samples many prompts of varied
+length at once (padded to one bucket); optional guidance_scale and
+encoder_reuse knobs extend the reference's sampler.
 """
 
 from __future__ import annotations
@@ -200,8 +200,6 @@ def sample_lines(
     each returned array is trimmed to its own 16*len(tokens) heuristic
     length, so per-line output matches single-prompt inference semantics.
     """
-    from dhg.data.tokenizer import Tokenizer
-
     tok = Tokenizer()
     text = jnp.asarray(tok.encode_batch(prompts, max_text_len))
     if style.shape[0] == 1 and len(prompts) > 1:
