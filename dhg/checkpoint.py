@@ -158,20 +158,24 @@ def load_model(
     checkpoint_path: str | Path,
     dtype=None,
     strict: bool = True,
+    cfg_options: dict | None = None,
 ):
     """Reconstruct the DiffusionModel from a run's config.yml and weights.
 
     Returns (model, params). Mirrors reference load_model
     (checkpoint.py:256-297) minus device juggling — JAX arrays land on the
     default device. Key mismatches are reported like the reference's
-    verbose loader (raise when strict, warn otherwise).
+    verbose loader (raise when strict, warn otherwise). cfg_options applies
+    dotted-path overrides on the loaded config (reference parity).
     """
     import jax.numpy as jnp
 
-    from dhg.config import DLConfig
+    from dhg.config import DLConfig, update_config
     from dhg.models.denoiser import DiffusionModel
 
     cfg = DLConfig.load(config_path)
+    if cfg_options:
+        cfg = DLConfig(update_config(cfg.to_dict(), cfg_options))
     model = DiffusionModel.from_config(cfg.training_args, dtype=dtype)
     restored = load_checkpoint(checkpoint_path)
 
