@@ -87,7 +87,8 @@ def _sdpa_fused_bwd(res, g):
     q, k, v, mask = res
     _, vjp = jax.vjp(lambda q_, k_, v_: _sdpa_jnp(q_, k_, v_, mask), q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dmask
 
 
 _sdpa_fused.defvjp(_sdpa_fused_fwd, _sdpa_fused_bwd)

@@ -25,6 +25,38 @@ def test_fused_matches_jnp(tq, tk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-4)
 
 
+def test_fused_gradients_match_jnp(monkeypatch):
+    """custom_vjp route: fused forward, jnp-math backward — grads identical."""
+    import dhg.kernels.fused_attention as fa
+    import dhg.kernels.runtime as rt
+    from dhg.ops.attention import scaled_dot_product_attention
+
+    monkeypatch.setattr(rt, "use_fused_attention", lambda: True)
+    orig = fa.fused_attention
+    monkeypatch.setattr(
+        fa, "fused_attention", lambda q, k, v, m=None: orig(q, k, v, m, interpret=True)
+    )
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 12, 8))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 12, 8))
+    mask = jnp.zeros((1, 1, 1, 12)).at[0, :, :, 8:].set(1.0)
+
+    g_fused = jax.grad(lambda q_: scaled_dot_product_attention(q_, k, v, mask).sum())(q)
+    g_ref = jax.grad(lambda q_: _sdpa_jnp(q_, k, v, mask).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-4)
+
+
+def test_no_module_shadowing():
+    """dhg.kernels must not re-export the function over the submodule."""
+    import importlib
+
+    mod = importlib.import_module("dhg.kernels.fused_attention")
+    import dhg.kernels as pkg
+
+    assert getattr(pkg, "fused_attention", mod) is mod or not hasattr(pkg, "fused_attention")
+
+
 def test_fused_no_mask():
     b, h, tq, tk, d = 1, 2, 24, 24, 32
     q = jax.random.normal(jax.random.PRNGKey(1), (b, h, tq, d))
