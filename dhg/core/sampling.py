@@ -128,7 +128,8 @@ def diffusion_sample(
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
         else:
             x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
-        return x_next, pen
+        # eps_pred is f32 (model heads); keep the carry dtype stable.
+        return x_next.astype(dtype), pen
 
     xs = (idxs, alpha_next_set, step_keys, step_ctx)
     x_final, pens = jax.lax.scan(body, x0, xs)
@@ -196,7 +197,8 @@ def diffusion_sample_encoder_reuse(
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
         else:
             x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
-        return (x_next, feats), pen
+        # eps_pred is f32 (model heads); keep the carry dtype stable.
+        return (x_next.astype(dtype), feats), pen
 
     (x_final, _), pens = jax.lax.scan(
         body, (x0, feats0), (ts, idxs, alpha_next_set, step_keys, step_ctx)

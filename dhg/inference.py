@@ -70,6 +70,9 @@ def _sample_jit(
         beta_set = get_beta_set()
     alpha_set = get_alpha_set(beta_set)
     n = beta_set.shape[0]
+    # x_t carries in f32. (bf16 carry was measured SLOWER and the RNG draws
+    # differ by dtype, diverging the whole trajectory — see DEVNOTES.md.)
+    x_dtype = jnp.float32
 
     # Reverse schedule order: scan step t uses schedule index n-1-t.
     sig_rev = jnp.sqrt(alpha_set)[::-1]
@@ -122,6 +125,7 @@ def _sample_jit(
             beta_set,
             mode=mode,
             reuse_every=encoder_reuse,
+            dtype=x_dtype,
         )
 
     if guided:
@@ -152,6 +156,7 @@ def _sample_jit(
         beta_set,
         mode=mode,
         step_ctx=step_ctx,
+        dtype=x_dtype,
     )
 
 
@@ -165,12 +170,27 @@ def generate(
     diffusion_mode: str = "new",
     guidance_scale: float | None = None,
     encoder_reuse: int | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Sample stroke sequences [B, seq_len, 3] for tokenized prompts."""
+    """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
+
+    mesh: optional jax.sharding.Mesh — the batch is sharded over its 'data'
+    axis (params replicated / tp-sharded per dhg.parallel.sharding), so a
+    batch-256 sweep scales across all chips of a slice. Single-device when
+    None.
+    """
     if seq_len is None:
         # Longest prompt in the batch sets the bucket.
         lengths = np.asarray((text != 0).sum(axis=1))
         seq_len = infer_seq_len(int(lengths.max()))
+    if mesh is not None:
+        from dhg.parallel.mesh import batch_sharding
+        from dhg.parallel.sharding import param_shardings
+
+        bs = batch_sharding(mesh)
+        text = jax.device_put(text, bs)
+        style = jax.device_put(style, bs)
+        params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
     return _sample_jit(
         model,
         params,

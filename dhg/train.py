@@ -174,12 +174,24 @@ class Trainer:
         mesh = self.mesh
         batch_spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
 
+        cond_dropout = float(self.cfg.training_args.cond_dropout or 0.0)
+
         def step(state: TrainState, key: jax.Array):
-            k_batch, k_alpha, k_eps, k_drop = jax.random.split(key, 4)
+            k_batch, k_alpha, k_eps, k_drop, k_cond = jax.random.split(key, 5)
             strokes3, text, style = data.sample_batch(k_batch, batch_size)
             strokes3 = jax.lax.with_sharding_constraint(strokes3, batch_spec)
             text = jax.lax.with_sharding_constraint(text, batch_spec)
             style = jax.lax.with_sharding_constraint(style, batch_spec)
+
+            if cond_dropout > 0.0:
+                # Classifier-free-guidance training: with prob p per sample,
+                # replace the conditioning with the null condition (EOS-only
+                # text + zero style) so guidance_scale > 1 at inference has a
+                # trained unconditional branch. Superset of the reference.
+                drop_b = jax.random.bernoulli(k_cond, cond_dropout, (batch_size,))
+                null_text = jnp.zeros_like(text).at[:, 0].set(1)
+                text = jnp.where(drop_b[:, None], null_text, text)
+                style = jnp.where(drop_b[:, None, None], jnp.zeros_like(style), style)
 
             x, pen = strokes3[..., :2], strokes3[..., 2]
             alphas = sample_alphas(k_alpha, batch_size, alpha_set)
