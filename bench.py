@@ -1,9 +1,9 @@
 """Benchmark harness — the BASELINE.json north-star metric.
 
 Measures on the current default JAX backend (one TPU chip under the driver):
-  1. denoise steps/sec/chip: batched 60-step sampler (batch 96, T = 392,
-     the 24-char-prompt bucket) — each "denoise step" is one denoiser
-     forward for one line;
+  1. denoise steps/sec/chip: batched 60-step sampler (batch 256, T = 392,
+     the 24-char-prompt bucket — the BASELINE config-5 sweep batch) — each
+     "denoise step" is one denoiser forward for one line;
   2. p50 latency per generated line: single-line (batch 1) 60-step sampler.
 
 Prints ONE JSON line {metric, value, unit, vs_baseline, ...extras}.
@@ -115,8 +115,8 @@ def main():
     seq_len = infer_seq_len(PROMPT_LEN)  # 392
     key = jax.random.PRNGKey(123)
 
-    # Throughput: batch 96 sampler.
-    batch = 96
+    # Throughput: batch-256 sampler (BASELINE config 5's sweep batch size).
+    batch = 256
     sample_b = build(batch, seq_len)
     jax.block_until_ready(sample_b(key))  # compile
     times_b = timed(sample_b, key, 5)
