@@ -9,7 +9,10 @@ EXP = "data/best_exp"
 OUTPUT = "prediction"
 CHECKPOINT =
 
-.PHONY: train infer test bench format lint cache
+.PHONY: install train infer test bench format lint cache
+
+install:
+	pip install -e . || true  # deps are baked into the TPU image
 
 train:
 	python -m dhg.train --config=$(CONFIG)
