@@ -213,6 +213,9 @@ def sample_lines(
     key: jax.Array,
     max_text_len: int = 50,
     diffusion_mode: str = "new",
+    guidance_scale: float | None = None,
+    encoder_reuse: int | None = None,
+    mesh=None,
 ) -> list[np.ndarray]:
     """Batched varied-length sampling (BASELINE config 2).
 
@@ -227,7 +230,16 @@ def sample_lines(
     lengths = [len(p) + 1 for p in prompts]  # + EOS
     bucket = infer_seq_len(max(lengths))
     out = generate(
-        model, params, text, style, key, seq_len=bucket, diffusion_mode=diffusion_mode
+        model,
+        params,
+        text,
+        style,
+        key,
+        seq_len=bucket,
+        diffusion_mode=diffusion_mode,
+        guidance_scale=guidance_scale,
+        encoder_reuse=encoder_reuse,
+        mesh=mesh,
     )
     arr = np.asarray(out)
     return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
