@@ -21,3 +21,13 @@ def use_fused_attention() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def use_fused_conv_block() -> bool:
+    """Route ConvBlock through the fused Pallas kernel (TPU only)."""
+    if os.environ.get("DHG_FUSED_CONVBLOCK", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

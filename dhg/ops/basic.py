@@ -41,27 +41,33 @@ class AffineTransformLayer(nn.Module):
     """FiLM conditioning: x * gamma(sigma_emb) + beta(sigma_emb).
 
     sigma_emb: [B, SIGMA_EMB_DIM]; broadcasts over the time axis of x [B, T, C].
+    setup-style so `coefficients` can be called standalone (the fused Pallas
+    ConvBlock precomputes gamma/beta outside the kernel).
     """
 
     hidden: int
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, sigma_emb: jnp.ndarray) -> jnp.ndarray:
-        gamma = nn.Dense(
+    def setup(self):
+        self.gamma_emb = nn.Dense(
             self.hidden,
             dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=nn.initializers.ones,  # TF/torch parity (conditioning.py:13)
-            name="gamma_emb",
-        )(sigma_emb)
-        beta = nn.Dense(
+        )
+        self.beta_emb = nn.Dense(
             self.hidden,
             dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(SIGMA_EMB_DIM),
-            name="beta_emb",
-        )(sigma_emb)
+        )
+
+    def coefficients(self, sigma_emb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(gamma [B, C], beta [B, C]) for a sigma embedding."""
+        return self.gamma_emb(sigma_emb), self.beta_emb(sigma_emb)
+
+    def __call__(self, x: jnp.ndarray, sigma_emb: jnp.ndarray) -> jnp.ndarray:
+        gamma, beta = self.coefficients(sigma_emb)
         return x * gamma[:, None, :] + beta[:, None, :]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dhg.ops.basic import AffineTransformLayer, dense
@@ -58,33 +59,102 @@ def upsample_nearest_1d(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 
 
 class ConvBlock(nn.Module):
-    """Residual conv block with FiLM sigma conditioning."""
+    """Residual conv block with FiLM sigma conditioning.
+
+    setup-style so the fused Pallas path (DHG_FUSED_CONVBLOCK=1) can read
+    the conv/fc weights and FiLM coefficients without running the unfused
+    graph. Param tree names are identical to the original compact layout
+    (conv_skip/conv1/conv2/fc/affine1-3).
+    """
 
     d_out: int
     dilation: int = 1  # = dils[0] in the reference; dils[1] was never used
     drop_rate: float = 0.0
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        # in_features for the torch-style bias init is only known at call
+        # time; flax infers kernel shapes lazily, and the bias bound uses
+        # d_out-based fan-in approximations identical to the previous
+        # inline construction for the fc layer. Convs get their exact
+        # fan-in via the _bias_fan_in trick below.
+        self.conv_skip = _LazyConv(self.d_out, 1, self.dtype)
+        self.conv1 = _LazyConv(self.d_out // 2, self.dilation, self.dtype)
+        self.conv2 = _LazyConv(self.d_out, self.dilation, self.dtype)
+        self.fc = dense(self.d_out, self.d_out, self.dtype)
+        self.affine1 = AffineTransformLayer(self.d_out // 2, self.dtype)
+        self.affine2 = AffineTransformLayer(self.d_out, self.dtype)
+        self.affine3 = AffineTransformLayer(self.d_out, self.dtype)
+        self.drop = nn.Dropout(self.drop_rate)
+
+    def _unfused(self, x, sigma_emb, deterministic):
+        skip = self.conv_skip(x)
+        h = self.conv1(nn.silu(x))
+        h = self.drop(self.affine1(h, sigma_emb), deterministic=deterministic)
+        h = self.conv2(nn.silu(h))
+        h = self.drop(self.affine2(h, sigma_emb), deterministic=deterministic)
+        h = self.fc(nn.silu(h))
+        h = self.drop(self.affine3(h, sigma_emb), deterministic=deterministic)
+        return h + skip
+
     def __call__(
         self, x: jnp.ndarray, sigma_emb: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        from dhg.kernels.runtime import use_fused_conv_block
+
+        fused_ok = (
+            not self.is_initializing()
+            and use_fused_conv_block()
+            and self.dilation == 1
+            and (self.drop_rate == 0.0 or deterministic)
+        )
+        if not fused_ok:
+            return self._unfused(x, sigma_emb, deterministic)
+
+        from dhg.kernels.fused_conv_block import conv_block_fused_op
+
+        g1, be1 = self.affine1.coefficients(sigma_emb)
+        g2, be2 = self.affine2.coefficients(sigma_emb)
+        g3, be3 = self.affine3.coefficients(sigma_emb)
+
+        def wb(mod):
+            p = mod.variables["params"]
+            return p["kernel"], p["bias"]
+
+        wskip, bskip = wb(self.conv_skip)
+        w1, b1 = wb(self.conv1)
+        w2, b2 = wb(self.conv2)
+        wfc, bfc = wb(self.fc)
+        return conv_block_fused_op(
+            x, wskip, bskip, w1, b1, w2, b2, wfc, bfc, g1, be1, g2, be2, g3, be3
+        )
+
+
+class _LazyConv(nn.Module):
+    """k3 'same' Conv with torch-style init, fan-in resolved at first call.
+
+    Wrapper so ConvBlock's setup() can declare convs without knowing the
+    input width; the inner nn.Conv is named 'conv'... no — it must own the
+    params directly to keep the conv_skip/kernel naming. Uses nn.compact
+    with explicit param declaration mirroring nn.Conv's shapes.
+    """
+
+    features: int
+    dilation: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d_in = x.shape[-1]
-        drop = nn.Dropout(self.drop_rate, deterministic=deterministic)
-
-        skip = conv1d_same(self.d_out, d_in, dtype=self.dtype, name="conv_skip")(x)
-
-        h = conv1d_same(
-            self.d_out // 2, d_in, dilation=self.dilation, dtype=self.dtype, name="conv1"
-        )(nn.silu(x))
-        h = drop(AffineTransformLayer(self.d_out // 2, self.dtype, name="affine1")(h, sigma_emb))
-
-        h = conv1d_same(
-            self.d_out, self.d_out // 2, dilation=self.dilation, dtype=self.dtype, name="conv2"
-        )(nn.silu(h))
-        h = drop(AffineTransformLayer(self.d_out, self.dtype, name="affine2")(h, sigma_emb))
-
-        h = dense(self.d_out, self.d_out, self.dtype, name="fc")(nn.silu(h))
-        h = drop(AffineTransformLayer(self.d_out, self.dtype, name="affine3")(h, sigma_emb))
-
-        return h + skip
+        kernel = self.param("kernel", torch_kernel_init, (3, d_in, self.features))
+        bias = self.param("bias", torch_bias_init(d_in * 3), (self.features,))
+        dt = self.dtype or x.dtype
+        out = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            kernel.astype(dt),
+            window_strides=(1,),
+            padding="SAME",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return out + bias.astype(dt)
