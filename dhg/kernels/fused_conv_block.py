@@ -54,17 +54,20 @@ def _block_kernel(
 
     skip = _conv3(x, wskip_ref[:], bskip_ref[:])
 
+    # FiLM refs are per-batch (1, 1, C) blocks (a [B, 1, C] layout keeps
+    # Mosaic's sublane tiling happy; dynamic row indexing into [B, C]
+    # cannot be proven 8-aligned).
     h = _conv3(jax.nn.silu(x), w1_ref[:], b1_ref[:])
-    h = h * g1_ref[0] + be1_ref[0]
+    h = h * g1_ref[0, 0] + be1_ref[0, 0]
 
     h = _conv3(jax.nn.silu(h), w2_ref[:], b2_ref[:])
-    h = h * g2_ref[0] + be2_ref[0]
+    h = h * g2_ref[0, 0] + be2_ref[0, 0]
 
     h = jax.lax.dot_general(
         jax.nn.silu(h), wfc_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bfc_ref[:]
-    h = h * g3_ref[0] + be3_ref[0]
+    h = h * g3_ref[0, 0] + be3_ref[0, 0]
 
     o_ref[0] = (h + skip).astype(o_ref.dtype)
 
@@ -88,8 +91,11 @@ def fused_conv_block(
     per_batch_x = pl.BlockSpec((1, t, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     per_batch_o = pl.BlockSpec((1, t, co), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    def vec(c):
-        return pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def film(c):
+        return pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    # [B, C] -> [B, 1, C] so per-batch blocks satisfy sublane tiling.
+    g1, be1, g2, be2, g3, be3 = (a[:, None, :] for a in (g1, be1, g2, be2, g3, be3))
 
     return pl.pallas_call(
         _block_kernel,
@@ -101,9 +107,9 @@ def fused_conv_block(
             full, full,  # w1, b1
             full, full,  # w2, b2
             full, full,  # wfc, bfc
-            vec(co // 2), vec(co // 2),  # g1, be1
-            vec(co), vec(co),  # g2, be2
-            vec(co), vec(co),  # g3, be3
+            film(co // 2), film(co // 2),  # g1, be1
+            film(co), film(co),  # g2, be2
+            film(co), film(co),  # g3, be3
         ],
         out_specs=per_batch_o,
         interpret=interpret,
