@@ -67,6 +67,31 @@ def infer_seq_len(num_tokens: int) -> int:
     return t - (t % 8) + 8
 
 
+def per_sample_noise_streams(
+    sample_keys: jax.Array, n_steps: int, seq_len: int, dtype=jnp.float32
+):
+    """Independent per-sample noise streams for batched sampling.
+
+    sample_keys: [B] PRNG keys (one per request/sample). Each sample's
+    initial x0 and per-step noise derive ONLY from its own key, so a
+    request keyed PRNGKey(seed) draws identical noise whether it runs
+    alone or co-batched with others (the serving batcher's determinism
+    contract). For B=1 this reproduces diffusion_sample's single-key
+    draws bit-for-bit (jax.random.normal streams depend on element count,
+    not shape).
+
+    Returns (x0 [B, T, 2], step_keys [n_steps, B]).
+    """
+
+    def one(k):
+        k_init, k_steps = jax.random.split(k)
+        x0 = jax.random.normal(k_init, (seq_len, 2), dtype=dtype)
+        return x0, jax.random.split(k_steps, n_steps)
+
+    x0, steps = jax.vmap(one)(sample_keys)
+    return x0, jnp.swapaxes(steps, 0, 1)
+
+
 def diffusion_sample(
     denoise_fn: Callable,
     key: jax.Array,
@@ -76,6 +101,7 @@ def diffusion_sample(
     mode: str = "new",
     dtype=jnp.float32,
     step_ctx=None,
+    sample_keys: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Run the full reverse-diffusion loop as one lax.scan.
 
@@ -92,6 +118,9 @@ def diffusion_sample(
       step_ctx: optional pytree with leading dim n_steps, scanned in REVERSE
         schedule order (entry t corresponds to schedule index n-1-t). When
         given, denoise_fn is called as denoise_fn(x, sigma, ctx_t).
+      sample_keys: optional [B] per-sample keys replacing `key` — each
+        batch row gets its own independent noise stream (see
+        per_sample_noise_streams). Used by the serving batcher.
 
     Returns:
       strokes [B, T, 3]: (dx, dy) from the final x plus the last step's
@@ -103,9 +132,12 @@ def diffusion_sample(
     alpha_set = get_alpha_set(beta_set)
     n = beta_set.shape[0]
 
-    k_init, k_steps = jax.random.split(key)
-    x0 = jax.random.normal(k_init, (batch_size, seq_len, 2), dtype=dtype)
-    step_keys = jax.random.split(k_steps, n)
+    if sample_keys is not None:
+        x0, step_keys = per_sample_noise_streams(sample_keys, n, seq_len, dtype)
+    else:
+        k_init, k_steps = jax.random.split(key)
+        x0 = jax.random.normal(k_init, (batch_size, seq_len, 2), dtype=dtype)
+        step_keys = jax.random.split(k_steps, n)
 
     # Scan runs t = 0..n-1 over reversed schedule index i = n-1-t.
     idxs = jnp.arange(n - 1, -1, -1)
@@ -123,7 +155,10 @@ def diffusion_sample(
             eps_pred, pen = denoise_fn(x, sigma)
         else:
             eps_pred, pen = denoise_fn(x, sigma, ctx)
-        noise = jax.random.normal(k, x.shape, dtype)
+        if sample_keys is not None:  # k is [B] per-sample keys
+            noise = jax.vmap(lambda kk: jax.random.normal(kk, x.shape[1:], dtype))(k)
+        else:
+            noise = jax.random.normal(k, x.shape, dtype)
         if mode == "standard":
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
         else:

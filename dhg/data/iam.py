@@ -90,12 +90,14 @@ def build_iam_cache(
     seed: int = 54321,
     style_apply_fn=None,
     style_batch: int = 32,
+    style_weights: str | Path | None = None,
 ) -> IAMCache:
     """Scan the IAM tree and build a packed cache.
 
     style_apply_fn: jitted fn [B, H, W] image -> [B, 14, 1280]; if None, the
-    frozen StyleExtractor is built on the fly (random-init unless converted
-    weights are present at data/mobilenetv2_tv.npz).
+    frozen StyleExtractor is built on the fly from `style_weights` (None
+    resolves to <repo>/data/mobilenetv2_tv.npz; a loud warning fires on
+    random-init fallback — see dhg.models.style_extractor).
     """
     data_dir = Path(data_dir)
     rng = np.random.RandomState(seed)
@@ -145,7 +147,11 @@ def build_iam_cache(
             if style_img.shape[1] < img_width:
                 style_img = pad_img(style_img, img_width, img_height)
             else:
-                style_img = style_img[:, :img_width].astype("float32")
+                # The reference feeds the style image at its natural width
+                # (adaptive pooling absorbs it, text_style.py:56); keep it
+                # uncropped — extract_style_vectors runs odd-width images
+                # individually outside the fixed-width batches.
+                style_img = style_img.astype("float32")
 
             strokes_all.append(strokes)
             text_all.append(tokenizer.encode_padded(text_dict[sid], max_text_len))
@@ -162,7 +168,7 @@ def build_iam_cache(
         raise RuntimeError(f"no valid IAM samples found under {data_dir}")
 
     logger.info("IAM %s: %d samples; extracting style vectors...", kind, len(sample_ids))
-    style = extract_style_vectors(style_imgs, style_apply_fn, style_batch)
+    style = extract_style_vectors(style_imgs, style_apply_fn, style_batch, style_weights)
 
     return IAMCache(
         strokes=np.stack(strokes_all).astype(np.float32),
@@ -172,19 +178,36 @@ def build_iam_cache(
     )
 
 
-def extract_style_vectors(style_imgs, style_apply_fn=None, batch: int = 32) -> np.ndarray:
-    """Run the frozen StyleExtractor over padded style images, batched."""
+def extract_style_vectors(
+    style_imgs, style_apply_fn=None, batch: int = 32, style_weights=None
+) -> np.ndarray:
+    """Run the frozen StyleExtractor over style images.
+
+    Images at the common (padded) width run in fixed-shape batches; the rare
+    wider-than-img_width images run individually at their natural width —
+    the reference's adaptive pooling semantics (text_style.py:56), at the
+    cost of one compile per distinct width.
+    """
     if style_apply_fn is None:
         from dhg.models.style_extractor import init_style_extractor
 
-        _, _, style_apply_fn = init_style_extractor(
-            weights_path=Path("data/mobilenetv2_tv.npz")
-        )
-    out = []
-    imgs = np.stack(style_imgs).astype(np.float32)
-    for i in range(0, len(imgs), batch):
-        out.append(np.asarray(style_apply_fn(imgs[i : i + batch])))
-    return np.concatenate(out).astype(np.float32)
+        _, _, style_apply_fn = init_style_extractor(weights_path=style_weights)
+
+    shapes = {img.shape for img in style_imgs}
+    common = max(shapes, key=lambda s: sum(1 for i in style_imgs if i.shape == s))
+    out = [None] * len(style_imgs)
+
+    batched_idx = [i for i, img in enumerate(style_imgs) if img.shape == common]
+    if batched_idx:
+        imgs = np.stack([style_imgs[i] for i in batched_idx]).astype(np.float32)
+        for lo in range(0, len(imgs), batch):
+            vecs = np.asarray(style_apply_fn(imgs[lo : lo + batch]))
+            for j, idx in enumerate(batched_idx[lo : lo + batch]):
+                out[idx] = vecs[j]
+    for i, img in enumerate(style_imgs):
+        if out[i] is None:
+            out[i] = np.asarray(style_apply_fn(img.astype(np.float32)[None]))[0]
+    return np.stack(out).astype(np.float32)
 
 
 def cache_fingerprint(**kwargs) -> str:

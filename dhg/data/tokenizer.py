@@ -50,11 +50,17 @@ class Tokenizer:
         return out
 
     def encode_batch(self, texts: list[str], max_len: int) -> np.ndarray:
-        """Vectorized batch encode -> [B, max_len] int32."""
+        """Vectorized batch encode -> [B, max_len] int32.
+
+        Matches encode() exactly: any character outside the charset —
+        including non-latin-1 codepoints — maps to UNK_ID (the reference's
+        tokens.get(c, UNK) semantics), never to a substitute character.
+        """
         out = np.zeros((len(texts), max_len), dtype=np.int32)
         for i, t in enumerate(texts):
-            raw = np.frombuffer(t.encode("latin-1", errors="replace"), dtype=np.uint8)
-            ids = self._lut[raw]
+            # utf-32-le gives exact codepoints as a vector; >= 256 is UNK.
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            ids = np.where(codes < 256, self._lut[np.minimum(codes, 255)], UNK_ID)
             if len(ids) + 1 > max_len:
                 raise ValueError(f"text too long at row {i}")
             out[i, : len(ids)] = ids

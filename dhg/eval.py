@@ -48,9 +48,11 @@ def evaluate(model, params, cache, batch_size: int = 16, seed: int = 0):
     eval_step = make_eval_fn(model, batch_size)
     n = len(cache)
     key = jax.random.PRNGKey(seed)
-    totals = []
-    for i in range(0, n - batch_size + 1, batch_size):
-        sl = slice(i, i + batch_size)
+    totals, weights = [], []
+    # Every sample contributes: the tail batch (n % batch_size) runs at its
+    # natural size (one extra compile) and the mean is sample-weighted.
+    for i in range(0, n, batch_size):
+        sl = slice(i, min(i + batch_size, n))
         m = eval_step(
             params,
             jnp.asarray(cache.strokes[sl]),
@@ -59,4 +61,5 @@ def evaluate(model, params, cache, batch_size: int = 16, seed: int = 0):
             jax.random.fold_in(key, i),
         )
         totals.append(np.asarray(m))
-    return np.mean(np.stack(totals), axis=0)
+        weights.append(sl.stop - sl.start)
+    return np.average(np.stack(totals), axis=0, weights=weights)

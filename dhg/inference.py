@@ -46,7 +46,7 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
 @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9))
 def _sample_jit(
     model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode,
-    guidance_scale=None, encoder_reuse=None,
+    guidance_scale=None, encoder_reuse=None, sample_keys=None,
 ):
     """One XLA program for the whole sampler, with conditioning hoisted.
 
@@ -157,6 +157,7 @@ def _sample_jit(
         mode=mode,
         step_ctx=step_ctx,
         dtype=x_dtype,
+        sample_keys=sample_keys,
     )
 
 
@@ -171,6 +172,7 @@ def generate(
     guidance_scale: float | None = None,
     encoder_reuse: int | None = None,
     mesh=None,
+    sample_keys: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
 
@@ -178,6 +180,10 @@ def generate(
     axis (params replicated / tp-sharded per dhg.parallel.sharding), so a
     batch-256 sweep scales across all chips of a slice. Single-device when
     None.
+
+    sample_keys: optional [B] per-request PRNG keys — each batch row draws
+    its own independent noise stream, so a request's output is identical
+    whether it runs alone or co-batched (continuous-batching contract).
     """
     if seq_len is None:
         # Longest prompt in the batch sets the bucket.
@@ -202,6 +208,7 @@ def generate(
         diffusion_mode,
         guidance_scale,
         encoder_reuse,
+        sample_keys,
     )
 
 
@@ -245,13 +252,23 @@ def sample_lines(
     return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
 
 
-def style_from_image(source: str | Path, img_height: int = 96):
-    """Read a writer-style image and extract its [1, 14, 1280] style vector."""
+def style_from_image(
+    source: str | Path,
+    img_height: int = 96,
+    style_weights: str | Path | None = None,
+    strict: bool = False,
+):
+    """Read a writer-style image and extract its [1, 14, 1280] style vector.
+
+    style_weights: converted MobileNetV2 .npz; None resolves to the repo
+    default <repo>/data/mobilenetv2_tv.npz (NOT CWD-relative). A missing
+    file warns loudly (random-init trunk); strict=True raises instead.
+    """
     from dhg.data.images import read_img
     from dhg.models.style_extractor import init_style_extractor
 
     img = read_img(source, img_height).astype(np.float32)
-    _, _, apply_fn = init_style_extractor(weights_path=Path("data/mobilenetv2_tv.npz"))
+    _, _, apply_fn = init_style_extractor(weights_path=style_weights, strict=strict)
     return apply_fn(img[None])
 
 
@@ -266,8 +283,14 @@ def infer(
     seed: int = 0,
     show: bool = False,
     guidance_scale: float | None = None,
+    style_weights: str | None = None,
+    strict_style: bool = False,
 ) -> np.ndarray:
-    """End-to-end single-line inference; returns the [T, 3] stroke array."""
+    """End-to-end single-line inference; returns the [T, 3] stroke array.
+
+    style_weights: MobileNetV2 .npz path; falls back to the experiment
+    config's dataset_args.style_weights, then the repo default.
+    """
     if experiment_path:
         exp = Path(experiment_path)
         if not config_path:
@@ -285,12 +308,20 @@ def infer(
 
     model, params = load_model(config_path, checkpoint_path)
 
+    if style_weights is None:
+        from dhg.config import DLConfig
+
+        cfg = DLConfig.load(config_path)
+        style_weights = cfg.dataset_args.style_weights
+
     tokenizer = Tokenizer()
     encoded = tokenizer.encode(prompt)
     text = jnp.asarray([encoded], jnp.int32)
     seq_len = infer_seq_len(len(encoded))
 
-    style = jnp.asarray(style_from_image(source))
+    style = jnp.asarray(
+        style_from_image(source, style_weights=style_weights, strict=strict_style)
+    )
 
     strokes = generate(
         model,

@@ -14,6 +14,8 @@ dataset.py:130-132) and once per style image at inference.
 
 from __future__ import annotations
 
+import logging
+import warnings
 from functools import partial
 from pathlib import Path
 from typing import Any
@@ -25,8 +27,14 @@ import numpy as np
 
 from dhg.models.mobilenetv2 import MobileNetV2Features
 
+logger = logging.getLogger(__name__)
+
 STYLE_LEN = 14
 STYLE_DIM = 1280
+
+# Repo-root-relative default (NOT CWD-relative): <repo>/data/mobilenetv2_tv.npz,
+# produced by dhg/tools/convert_torchvision_mnv2.py.
+DEFAULT_WEIGHTS_PATH = Path(__file__).resolve().parents[2] / "data" / "mobilenetv2_tv.npz"
 
 
 def avg_pool_2d_floor(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
@@ -73,13 +81,19 @@ class StyleExtractor(nn.Module):
 
 
 def init_style_extractor(
-    weights_path: str | Path | None = None, seed: int = 0, dtype: Any = None
+    weights_path: str | Path | None = None,
+    seed: int = 0,
+    dtype: Any = None,
+    strict: bool = False,
 ):
     """Build the frozen extractor and its variables.
 
-    If `weights_path` (an .npz produced by dhg/tools/convert_torchvision_mnv2.py)
-    exists, converted pretrained weights are loaded; otherwise the trunk is
-    deterministically random-initialized from `seed`.
+    weights_path: an .npz produced by dhg/tools/convert_torchvision_mnv2.py.
+    None resolves to the repo-level default (DEFAULT_WEIGHTS_PATH). If the
+    file is absent the trunk is deterministically random-initialized from
+    `seed` — a LOUD warning is emitted (the reference runs torchvision
+    *pretrained* features, text_style.py:19-28, so random-init style vectors
+    diverge completely); pass strict=True to raise instead.
 
     Returns (module, variables, jitted_apply).
     """
@@ -87,9 +101,22 @@ def init_style_extractor(
     dummy = jnp.zeros((1, 96, 192), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy)
 
-    if weights_path is not None and Path(weights_path).exists():
-        loaded = dict(np.load(weights_path))
+    resolved = Path(weights_path) if weights_path is not None else DEFAULT_WEIGHTS_PATH
+    if resolved.exists():
+        loaded = dict(np.load(resolved))
         variables = _fill_from_flat(variables, loaded)
+    else:
+        msg = (
+            f"MobileNetV2 weights not found at {resolved} — the StyleExtractor "
+            "is RANDOM-INITIALIZED and its style vectors will not match the "
+            "reference's pretrained features. Convert torchvision weights with "
+            "`python -m dhg.tools.convert_torchvision_mnv2` or pass "
+            "strict=False knowingly."
+        )
+        if strict:
+            raise FileNotFoundError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
+        logger.warning(msg)
 
     @partial(jax.jit, static_argnums=())
     def apply_fn(img):

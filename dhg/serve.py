@@ -1,4 +1,4 @@
-"""Minimal production-style serving runtime for line generation.
+"""Production-style serving runtime with continuous batching.
 
     python -m dhg.serve --experiment_path=<run dir> [--port=8008] \
         [--source=<style image>] [--warmup_buckets=200,400]
@@ -9,12 +9,18 @@ buckets (so first requests don't pay compile latency), then serves:
   POST /generate   {"prompt": str, "seed": int?, "diffusion_mode": str?,
                     "guidance_scale": float?}
       -> {"strokes": [[dx, dy, pen], ...], "seq_len": int, "ms": float}
-  GET  /healthz    -> {"ok": true, "buckets": [...]}
+  GET  /healthz    -> {"ok": true, "buckets": [...], "stats": {...}}
 
-Requests are serialized through a lock (one TPU program at a time per chip);
-prompts share the bucketed compile cache, so steady-state latency is the
-pure device time (~35 ms/line on v5e). A stdlib-only server: the framework
-surface is the model + compiled sampler, not a web stack.
+Continuous batching: concurrent requests land in a queue; a single batcher
+thread drains compatible requests (same diffusion mode / guidance / length
+bucket) inside a short window and runs them as ONE bucketed sampler call,
+so K concurrent clients share one device program instead of queuing K
+serialized calls. Each request keeps its own PRNG stream (per-sample keys,
+dhg.core.sampling.per_sample_noise_streams), so its strokes are the same
+whether it runs alone or co-batched — identical noise, float32-tolerance
+numerics (XLA re-tiles reductions per batch shape, ~1e-5 drift over the
+60-step scan; same-seed replays at the same batch size are bit-identical).
+Batch sizes are padded to powers of two to bound the compile cache.
 
 Capability superset of the reference (which has no serving path at all).
 """
@@ -24,6 +30,8 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections import deque
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -34,18 +42,55 @@ import numpy as np
 from dhg.core.sampling import infer_seq_len
 from dhg.data.tokenizer import Tokenizer
 
+BATCH_SIZES = (1, 2, 4, 8, 16)
+
+
+@dataclass
+class _Pending:
+    tokens: list[int]
+    seed: int
+    mode: str
+    guidance: float | None
+    bucket: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: np.ndarray | None = None
+    seq_len: int = 0
+    error: Exception | None = None
+
+    def group_key(self):
+        # Bucket is part of the key: a request's noise stream depends on the
+        # sequence length it samples at, so co-batching across buckets would
+        # break the solo-vs-batched determinism contract.
+        return (self.mode, self.guidance, self.bucket)
+
 
 class GenerationService:
-    """Owns the model, style vector, tokenizer, and the compile cache."""
+    """Owns the model, style vector, tokenizer, compile cache, and the
+    continuous-batching queue."""
 
-    def __init__(self, model, params, style, max_text_len: int = 50):
+    def __init__(
+        self,
+        model,
+        params,
+        style,
+        max_text_len: int = 50,
+        batch_window_ms: float = 5.0,
+        max_batch: int = 16,
+    ):
         self.model = model
         self.params = params
         self.style = jnp.asarray(style)
         self.tokenizer = Tokenizer()
         self.max_text_len = max_text_len
-        self.lock = threading.Lock()
+        self.batch_window = batch_window_ms / 1000.0
+        self.max_batch = max_batch
         self.buckets: list[int] = []
+        self.stats = {"requests": 0, "batches": 0, "largest_batch": 0}
+
+        self._queue: deque[_Pending] = deque()
+        self._cv = threading.Condition()
+        self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self._batcher.start()
 
     @classmethod
     def from_experiment(cls, experiment_path: str, source: str | None = None):
@@ -64,6 +109,8 @@ class GenerationService:
             style = jnp.zeros((1, 14, 1280))
         return cls(model, params, style)
 
+    # -- bucketing ----------------------------------------------------------
+
     def bucket_for(self, n_tokens: int) -> int:
         """Smallest warmed bucket covering the prompt, else the exact length."""
         exact = infer_seq_len(n_tokens)
@@ -72,42 +119,118 @@ class GenerationService:
                 return b
         return exact
 
+    @staticmethod
+    def _pad_batch_size(n: int) -> int:
+        for b in BATCH_SIZES:
+            if b >= n:
+                return b
+        return n
+
     def warmup(self, buckets: list[int]) -> None:
         for seq_len in buckets:
-            self._generate_tokens([3, 1], seq_len=seq_len, seed=0)
+            self._run_bucket([[3, 1]], [0], seq_len, "new", None)
             self.buckets.append(seq_len)
 
-    def _generate_tokens(self, tokens, seq_len, seed, diffusion_mode="new", guidance=None):
+    # -- the batched sampler call --------------------------------------------
+
+    def _run_bucket(self, token_lists, seeds, seq_len, mode, guidance) -> np.ndarray:
+        """ONE sampler program for a group of requests sharing a bucket."""
         from dhg.inference import generate
 
-        text = jnp.zeros((1, self.max_text_len), jnp.int32)
-        text = text.at[0, : len(tokens)].set(jnp.asarray(tokens, jnp.int32))
+        n = len(token_lists)
+        b = self._pad_batch_size(n)
+        text = np.zeros((b, self.max_text_len), np.int32)
+        for i, toks in enumerate(token_lists):
+            text[i, : len(toks)] = toks
+        # Per-request noise streams; padding rows reuse key 0.
+        keys = jnp.stack(
+            [jax.random.PRNGKey(seeds[i] if i < n else 0) for i in range(b)]
+        )
+        style = jnp.broadcast_to(self.style, (b,) + self.style.shape[1:])
         out = generate(
             self.model,
             self.params,
-            text,
-            self.style,
-            jax.random.PRNGKey(seed),
+            jnp.asarray(text),
+            style,
+            jax.random.PRNGKey(0),
             seq_len=seq_len,
-            diffusion_mode=diffusion_mode,
+            diffusion_mode=mode,
             guidance_scale=guidance,
+            sample_keys=keys,
         )
-        return np.asarray(out[0])
+        return np.asarray(out[:n])
 
-    def generate_line(self, prompt: str, seed: int = 0, diffusion_mode: str = "new",
-                      guidance_scale: float | None = None) -> tuple[np.ndarray, int, float]:
+    # -- the batcher thread ---------------------------------------------------
+
+    def _batch_loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                first = self._queue.popleft()
+            group = [first]
+            deadline = time.perf_counter() + self.batch_window
+            while len(group) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                with self._cv:
+                    take = [
+                        p for p in self._queue if p.group_key() == first.group_key()
+                    ][: self.max_batch - len(group)]
+                    for p in take:
+                        self._queue.remove(p)
+                    if not take:
+                        self._cv.wait(timeout=remaining)
+                group.extend(take)
+            self._serve_group(group)
+
+    def _serve_group(self, group: list[_Pending]):
+        try:
+            bucket = group[0].bucket
+            out = self._run_bucket(
+                [p.tokens for p in group],
+                [p.seed for p in group],
+                bucket,
+                group[0].mode,
+                group[0].guidance,
+            )
+            self.stats["batches"] += 1
+            self.stats["largest_batch"] = max(self.stats["largest_batch"], len(group))
+            for i, p in enumerate(group):
+                p.seq_len = bucket
+                p.result = out[i, : infer_seq_len(len(p.tokens))]
+                p.done.set()
+        except Exception as e:  # surface errors to every waiting request
+            for p in group:
+                p.error = e
+                p.done.set()
+
+    # -- request API ----------------------------------------------------------
+
+    def generate_line(
+        self,
+        prompt: str,
+        seed: int = 0,
+        diffusion_mode: str = "new",
+        guidance_scale: float | None = None,
+    ) -> tuple[np.ndarray, int, float]:
         tokens = self.tokenizer.encode(prompt)
         if len(tokens) > self.max_text_len:
             raise ValueError(f"prompt too long ({len(tokens)} tokens > {self.max_text_len})")
-        seq_len = self.bucket_for(len(tokens))
+        req = _Pending(
+            tokens, seed, diffusion_mode, guidance_scale, self.bucket_for(len(tokens))
+        )
         t0 = time.perf_counter()
-        with self.lock:
-            strokes = self._generate_tokens(
-                tokens, seq_len, seed, diffusion_mode, guidance_scale
-            )
+        with self._cv:
+            self._queue.append(req)
+            self.stats["requests"] += 1
+            self._cv.notify_all()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
         ms = (time.perf_counter() - t0) * 1000
-        # Trim to the prompt's own heuristic length inside the bucket.
-        return strokes[: infer_seq_len(len(tokens))], seq_len, ms
+        return req.result, req.seq_len, ms
 
 
 def make_handler(service: GenerationService):
@@ -122,7 +245,11 @@ def make_handler(service: GenerationService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True, "buckets": sorted(service.buckets)})
+                self._send(
+                    200,
+                    {"ok": True, "buckets": sorted(service.buckets),
+                     "stats": dict(service.stats)},
+                )
             else:
                 self._send(404, {"error": "not found"})
 

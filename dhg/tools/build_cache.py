@@ -33,6 +33,7 @@ def main(argv=None) -> None:
         max_seq_len=cfg.dataset_args.max_seq_len or 480,
         max_files=cfg.training_args.max_files,
         seed=cfg.experiment.seed or 54321,
+        style_weights=cfg.dataset_args.style_weights,
     )
     logger.info(f"cache ready: {len(cache)} samples ({kind})")
 

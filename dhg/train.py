@@ -163,6 +163,7 @@ class Trainer:
                 max_seq_len=cfg.dataset_args.max_seq_len or 480,
                 max_files=ta.max_files,
                 seed=cfg.experiment.seed or 54321,
+                style_weights=cfg.dataset_args.style_weights,
             )
         return DeviceDataset.from_cache(cache)
 
@@ -256,6 +257,7 @@ class Trainer:
                 max_seq_len=cfg.dataset_args.max_seq_len or 480,
                 max_files=ta.max_files,
                 seed=cfg.experiment.seed or 54321,
+                style_weights=cfg.dataset_args.style_weights,
             )
         except RuntimeError:  # no validation samples on disk
             return None
@@ -378,7 +380,11 @@ class Trainer:
                 step=count,
             )
             save_checkpoint(exp_dir / "model_last", state.params)
-        self.saver.wait()
+        finally:
+            # Drain queued async saves even on unexpected exceptions — the
+            # saver thread is a daemon, so exiting without this would drop
+            # in-flight checkpoints silently.
+            self.saver.wait()
         return state
 
 

@@ -60,7 +60,13 @@ def show_strokes(
         plt.plot(path[:, 0], path[:, 1], color="black")
 
     if name:
-        plt.savefig(f"./{name}.png", bbox_inches="tight")
+        # Reference behavior: relative names save to ./<name>.png
+        # (utils/vis.py:32). Absolute paths save where they point (the
+        # reference would mangle them into ".//abs/path").
+        import os
+
+        target = f"{name}.png" if os.path.isabs(str(name)) else f"./{name}.png"
+        plt.savefig(target, bbox_inches="tight")
     if show_output:
         plt.show()
     else:

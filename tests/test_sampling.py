@@ -74,3 +74,40 @@ def test_sample_under_jit():
     out = f(jax.random.PRNGKey(0))
     assert out.shape == (1, 24, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_per_sample_keys_match_single_key_at_b1():
+    """sample_keys=[PRNGKey(s)] at B=1 reproduces key=PRNGKey(s) exactly
+    (jax.random streams depend on element count, not shape) — the serving
+    batcher's per-request determinism anchor."""
+    from dhg.core.sampling import diffusion_sample
+
+    def denoise_fn(x, sigma):
+        return -x * sigma[..., None], jnp.zeros(x.shape[:-1])
+
+    k = jax.random.PRNGKey(123)
+    a = diffusion_sample(denoise_fn, k, batch_size=1, seq_len=24)
+    b = diffusion_sample(
+        denoise_fn, None, batch_size=1, seq_len=24, sample_keys=jnp.stack([k])
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_sample_keys_row_independent_of_batch_composition():
+    """A row keyed PRNGKey(s) draws the same noise regardless of which other
+    rows share the batch (per-request streams)."""
+    from dhg.core.sampling import diffusion_sample
+
+    def denoise_fn(x, sigma):
+        # Row-local denoiser: no cross-batch mixing, so rows must be equal
+        # bit-for-bit across batch compositions.
+        return -x * sigma[..., None], jnp.zeros(x.shape[:-1])
+
+    k1, k2, k3 = (jax.random.PRNGKey(i) for i in (1, 2, 3))
+    a = diffusion_sample(
+        denoise_fn, None, batch_size=2, seq_len=24, sample_keys=jnp.stack([k1, k2])
+    )
+    b = diffusion_sample(
+        denoise_fn, None, batch_size=2, seq_len=24, sample_keys=jnp.stack([k1, k3])
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))

@@ -83,3 +83,65 @@ def test_generate_overlong_prompt_400(server):
 def test_unknown_route_404(server):
     status, _ = _post(server + "/nope", {})
     assert status == 404
+
+
+def test_concurrent_requests_are_batched(server):
+    """8 concurrent clients must share sampler calls: the batcher groups
+    compatible requests into one bucketed program instead of serializing 8."""
+    import urllib.request as _u
+
+    with _u.urlopen(server + "/healthz", timeout=30) as r:
+        before = json.loads(r.read())["stats"]
+
+    results = {}
+
+    def fire(i):
+        results[i] = _post(server + "/generate", {"prompt": f"line {i}", "seed": i})
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(results[i][0] == 200 for i in range(8))
+
+    with _u.urlopen(server + "/healthz", timeout=30) as r:
+        after = json.loads(r.read())["stats"]
+    new_requests = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_requests == 8
+    assert new_batches < 8, (new_batches, "no batching happened")
+    assert after["largest_batch"] >= 2
+
+
+def test_batched_result_identical_to_solo(server):
+    """Continuous-batching determinism contract: a request consumes the SAME
+    per-request noise stream whether it runs alone or co-batched, so its
+    strokes agree to float32 tolerance. (Bitwise equality across batch sizes
+    is impossible under XLA: reductions re-tile per compiled shape, and the
+    ~1e-7 reassociation drift compounds over the 60-step scan to ~1e-5 —
+    same-seed SOLO replays remain bit-identical, see
+    test_generate_deterministic_by_seed.)"""
+    # Solo run (server is idle between tests).
+    status, solo = _post(server + "/generate", {"prompt": "abc", "seed": 11})
+    assert status == 200
+
+    results = {}
+
+    def fire(i, prompt, seed):
+        results[i] = _post(server + "/generate", {"prompt": prompt, "seed": seed})
+
+    threads = [
+        threading.Thread(target=fire, args=(0, "abc", 11)),
+        threading.Thread(target=fire, args=(1, "other words", 5)),
+        threading.Thread(target=fire, args=(2, "zzz", 9)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0][0] == 200
+    got = np.asarray(results[0][1]["strokes"])
+    want = np.asarray(solo["strokes"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -53,3 +53,18 @@ def test_encode_batch_matches_scalar():
     batch = tok.encode_batch(texts, 20)
     for i, t in enumerate(texts):
         assert list(batch[i]) == list(tok.encode_padded(t, 20))
+
+
+def test_encode_batch_matches_encode_for_non_latin_chars():
+    """Batched and single-prompt paths must tokenize identically: characters
+    outside the charset — including non-latin-1 codepoints — map to UNK_ID,
+    never to a substitute '?' token (tokens.get(c, UNK) semantics)."""
+    from dhg.data.tokenizer import Tokenizer
+
+    tok = Tokenizer()
+    prompts = ["héllo", "日本語 ok", "a—dash?", "plain text!"]
+    batch = tok.encode_batch(prompts, max_len=20)
+    for i, p in enumerate(prompts):
+        single = tok.encode(p)
+        np.testing.assert_array_equal(batch[i, : len(single)], single)
+        assert np.all(batch[i, len(single) :] == 0)
