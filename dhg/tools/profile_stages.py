@@ -42,7 +42,9 @@ def _timed_scan(body, x0, iters=5):
     @jax.jit
     def run(x):
         out, _ = jax.lax.scan(lambda c, _: (body(c), 0.0), x, None, length=N_STEPS)
-        return out
+        # Reduce to ONE scalar before the D2H fence: the axon tunnel is slow,
+        # so fetching a multi-MB carry would dominate the measurement.
+        return out.astype(jnp.float32).mean()
 
     run(x0)  # compile
     np.asarray(run(x0))  # warm + fence
@@ -155,7 +157,8 @@ def profile(batch: int = 96, prompt_len: int = 24, dtype=jnp.bfloat16):
             return h
 
         out = model.apply({"params": params}, x, method=run)
-        return 0.99 * avg_pool_1d(avg_pool_1d(avg_pool_1d(out)))[..., : 2 * c2]
+        pooled = avg_pool_1d(avg_pool_1d(avg_pool_1d(out)))  # [B, T/8, c1]
+        return 0.99 * jnp.tile(pooled, (1, 1, (2 * c2) // c1))  # back to 2*c2
 
     results["decoder"] = _timed_scan(
         dec_body, jnp.zeros((batch, seq_len // 8, 2 * c2), cdt)

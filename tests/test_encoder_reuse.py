@@ -65,3 +65,17 @@ def test_reuse_every_one_unsupported_path_matches_exact(small):
     a = generate(model, params, text, style, k, seq_len=24)
     b = generate(model, params, text, style, k, seq_len=24, encoder_reuse=1)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_quality_eval_tool(small):
+    """dhg.tools.eval_encoder_reuse reports finite, monotone-ish drift."""
+    from dhg.tools.eval_encoder_reuse import evaluate_reuse
+
+    model, params, _, _ = small
+    report = evaluate_reuse(
+        model, params, batch=2, prompt_len=4, reuse_values=(2, 3), seed=0
+    )
+    assert [r["reuse_every"] for r in report["rows"]] == [2, 3]
+    for r in report["rows"]:
+        assert np.isfinite(r["stroke_mse"]) and r["stroke_mse"] > 0
+        assert 0.0 <= r["pen_flip_rate"] <= 1.0
