@@ -132,12 +132,21 @@ def diffusion_sample(
     alpha_set = get_alpha_set(beta_set)
     n = beta_set.shape[0]
 
+    # Per-step noise is drawn OUTSIDE the scan in one batched pass (bit-
+    # identical to in-loop draws: same keys, same element counts — only the
+    # schedule changes; keeps threefry out of the hot loop).
     if sample_keys is not None:
         x0, step_keys = per_sample_noise_streams(sample_keys, n, seq_len, dtype)
+        noises = jax.vmap(
+            jax.vmap(lambda kk: jax.random.normal(kk, (seq_len, 2), dtype))
+        )(step_keys)
     else:
         k_init, k_steps = jax.random.split(key)
         x0 = jax.random.normal(k_init, (batch_size, seq_len, 2), dtype=dtype)
         step_keys = jax.random.split(k_steps, n)
+        noises = jax.vmap(
+            lambda kk: jax.random.normal(kk, (batch_size, seq_len, 2), dtype)
+        )(step_keys)
 
     # Scan runs t = 0..n-1 over reversed schedule index i = n-1-t.
     idxs = jnp.arange(n - 1, -1, -1)
@@ -147,7 +156,7 @@ def diffusion_sample(
     )
 
     def body(x, per_step):
-        i, alpha_next, k, ctx = per_step
+        i, alpha_next, noise, ctx = per_step
         alpha = alpha_set[i]
         beta = beta_set[i]
         sigma = jnp.sqrt(alpha) * jnp.ones((batch_size, 1), dtype)
@@ -155,10 +164,6 @@ def diffusion_sample(
             eps_pred, pen = denoise_fn(x, sigma)
         else:
             eps_pred, pen = denoise_fn(x, sigma, ctx)
-        if sample_keys is not None:  # k is [B] per-sample keys
-            noise = jax.vmap(lambda kk: jax.random.normal(kk, x.shape[1:], dtype))(k)
-        else:
-            noise = jax.random.normal(k, x.shape, dtype)
         if mode == "standard":
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
         else:
@@ -166,7 +171,7 @@ def diffusion_sample(
         # eps_pred is f32 (model heads); keep the carry dtype stable.
         return x_next.astype(dtype), pen
 
-    xs = (idxs, alpha_next_set, step_keys, step_ctx)
+    xs = (idxs, alpha_next_set, noises, step_ctx)
     x_final, pens = jax.lax.scan(body, x0, xs)
     return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)
 
@@ -204,6 +209,9 @@ def diffusion_sample_encoder_reuse(
     k_init, k_steps = jax.random.split(key)
     x0 = jax.random.normal(k_init, (batch_size, seq_len, 2), dtype=dtype)
     step_keys = jax.random.split(k_steps, n)
+    noises = jax.vmap(
+        lambda kk: jax.random.normal(kk, (batch_size, seq_len, 2), dtype)
+    )(step_keys)
 
     idxs = jnp.arange(n - 1, -1, -1)
     alpha_next_set = jnp.where(
@@ -217,7 +225,7 @@ def diffusion_sample_encoder_reuse(
 
     def body(carry, per_step):
         x, feats = carry
-        t, i, alpha_next, k, ctx = per_step
+        t, i, alpha_next, noise, ctx = per_step
         alpha = alpha_set[i]
         beta = beta_set[i]
 
@@ -227,7 +235,6 @@ def diffusion_sample_encoder_reuse(
             lambda: feats,
         )
         eps_pred, pen = decode_fn(feats, ctx)
-        noise = jax.random.normal(k, x.shape, dtype)
         if mode == "standard":
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
         else:
@@ -236,6 +243,6 @@ def diffusion_sample_encoder_reuse(
         return (x_next.astype(dtype), feats), pen
 
     (x_final, _), pens = jax.lax.scan(
-        body, (x0, feats0), (ts, idxs, alpha_next_set, step_keys, step_ctx)
+        body, (x0, feats0), (ts, idxs, alpha_next_set, noises, step_ctx)
     )
     return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)

@@ -75,22 +75,49 @@ def _sample_jit(
     x_dtype = jnp.float32
 
     # Reverse schedule order: scan step t uses schedule index n-1-t.
+    # sigma is identical across the batch, so its embedding (and everything
+    # derived only from it — FiLM coefficients) is computed at B=1 and
+    # broadcast: bit-identical, 1/B the work and memory.
     sig_rev = jnp.sqrt(alpha_set)[::-1]
-    sig_b = jnp.broadcast_to(sig_rev[:, None, None], (n, batch_size, 1))
+    sig_b = sig_rev[:, None, None]  # [n, 1, 1]
 
     sigma_embs = jax.vmap(
         lambda s: model.apply({"params": params}, s, method=DiffusionModel.embed_sigma)
-    )(sig_b)
+    )(sig_b)  # [n, 1, 32]
 
     def encode_all(t, s):
+        # sigma-independent half once; only the sigma tail runs per step.
+        pre = model.apply(
+            {"params": params}, t, s, method=DiffusionModel.encode_cond_pre
+        )
         return jax.vmap(
             lambda se: model.apply(
-                {"params": params}, t, s, se, method=DiffusionModel.encode_cond
+                {"params": params}, pre, se, method=DiffusionModel.encode_cond_tail
             )
         )(sigma_embs)
 
     cond_all = encode_all(text, style)
     text_mask = create_padding_mask(text)
+
+    # Hoist EVERYTHING x_t-independent out of the scan in one batched pass
+    # over all 60 steps: the full text side of every cross-attention layer
+    # (text projection, LN, affine, PE, K/V head projections) and all 23
+    # FiLM coefficient Denses. The scan body then runs ONLY x_t-dependent
+    # work — numerically identical (denoise(kvs=..., films=...) is the same
+    # ops in the same order, just scheduled outside the loop).
+    def kv_all_of(cond_seq):
+        return jax.vmap(
+            lambda se, c: model.apply(
+                {"params": params}, c, se, method=DiffusionModel.precompute_cross_kv
+            )
+        )(sigma_embs, cond_seq)
+
+    kv_all = kv_all_of(cond_all)
+    film_all = jax.vmap(
+        lambda se: model.apply(
+            {"params": params}, se, method=DiffusionModel.precompute_film
+        )
+    )(sigma_embs)
 
     guided = guidance_scale is not None and guidance_scale != 1.0
 
@@ -102,17 +129,17 @@ def _sample_jit(
         from dhg.core.sampling import diffusion_sample_encoder_reuse
 
         def enc(x, ctx):
-            se, cond = ctx
+            kvs, films = ctx
             return model.apply(
-                {"params": params}, x, cond, se, text_mask,
-                method=DiffusionModel.encode_unet,
+                {"params": params}, x, None, None, text_mask,
+                method=DiffusionModel.encode_unet, kvs=kvs, films=films,
             )
 
         def dec(feats, ctx):
-            se, cond = ctx
+            kvs, films = ctx
             return model.apply(
-                {"params": params}, feats, cond, se, text_mask,
-                method=DiffusionModel.decode_unet,
+                {"params": params}, feats, None, None, text_mask,
+                method=DiffusionModel.decode_unet, kvs=kvs, films=films,
             )
 
         return diffusion_sample_encoder_reuse(
@@ -121,7 +148,7 @@ def _sample_jit(
             key,
             batch_size,
             seq_len,
-            (sigma_embs, cond_all),
+            (kv_all, film_all),
             beta_set,
             mode=mode,
             reuse_every=encoder_reuse,
@@ -132,22 +159,24 @@ def _sample_jit(
         null_text = jnp.zeros_like(text)
         # All-padding text would mask every key; leave one EOS token open.
         null_text = null_text.at[:, 0].set(1)
-        null_cond_all = encode_all(null_text, jnp.zeros_like(style))
+        null_kv_all = kv_all_of(encode_all(null_text, jnp.zeros_like(style)))
         null_mask = create_padding_mask(null_text)
 
     def denoise(x, sigma, ctx):
-        se, cond, null_cond = ctx
+        kvs, films, null_kvs = ctx
         eps_c, pen = model.apply(
-            {"params": params}, x, cond, se, text_mask, method=DiffusionModel.denoise
+            {"params": params}, x, None, None, text_mask,
+            method=DiffusionModel.denoise, kvs=kvs, films=films,
         )
         if not guided:
             return eps_c, pen
         eps_u, _ = model.apply(
-            {"params": params}, x, null_cond, se, null_mask, method=DiffusionModel.denoise
+            {"params": params}, x, None, None, null_mask,
+            method=DiffusionModel.denoise, kvs=null_kvs, films=films,
         )
         return eps_u + guidance_scale * (eps_c - eps_u), pen
 
-    step_ctx = (sigma_embs, cond_all, null_cond_all if guided else cond_all)
+    step_ctx = (kv_all, film_all, null_kv_all if guided else kv_all)
     return diffusion_sample(
         denoise,
         key,

@@ -1,0 +1,187 @@
+"""Pallas TPU megakernel: the sampler's whole attention bottleneck.
+
+Round-2 profiling (PERFORMANCE.md) showed the 60-step sampler loop is
+critical-path bound: ~520 small HLO ops per denoise step with dependency
+gaps, not FLOP/bandwidth bound. The attention bottleneck stack
+(att_dense + N EncoderLayers at T/8 = 49, width 384 — model.py:159-165 in
+the reference) contributes the largest op count: per layer ~10 matmuls +
+3 LayerNorms + 3 FiLM affines + softmaxes, each a separate HLO op.
+
+This kernel runs the ENTIRE stack for one batch row in one Pallas program
+invocation: all weights (~3.1M params bf16 = 6.2 MB) and the row's
+activations ([49, 384]) stay VMEM-resident; one grid cell per batch row.
+The cross-attention K/V come precomputed from the sampler's hoisted
+text side (DiffusionModel.precompute_cross_kv), FiLM gamma/beta from
+precompute_film — so the kernel needs zero sigma-side compute.
+
+Enabled by DHG_FUSED_BOTTLENECK=1 (sampler path only: requires kvs+films
+precomputed and bf16 compute dtype). Gradients flow through the jnp
+reference via custom_vjp, same pattern as fused_conv_block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+# Per-layer operand order (all bf16 unless noted):
+#   kh, vh          [B, H, L, hd]  precomputed cross K/V (BHTD, as stored
+#                                  by MultiHeadAttention.kv)
+#   wq, bq          [D, D], [D]      cross-attn query projection
+#   wo, bo          [D, D], [D]      cross-attn output projection
+#   wq2, bq2, wk2, bk2, wv2, bv2     self-attn projections
+#   wo2, bo2                         self-attn output projection
+#   w1, b1          [D, 2D], [2D]    FFN fc1
+#   w2, b2          [2D, D], [D]     FFN fc2
+#   g1, be1, g2, be2, g3, be3  [1, D]  FiLM coefficients (B=1 broadcast)
+_PER_LAYER = 24
+
+
+def _dense(x, w, b):
+    """flax Dense(dtype=bf16) semantics: bf16 matmul (f32 accum, one
+    rounding to bf16), bf16 bias add."""
+    y = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=F32
+    ).astype(BF16)
+    return y + b
+
+
+def _silu(x):
+    """x * sigmoid(x) in f32 (Mosaic's logistic lowering rejects bf16
+    broadcast of its f32 constants), rounded back to bf16."""
+    xf = x.astype(F32)
+    return (xf * (1.0 / (1.0 + jnp.exp(-xf)))).astype(BF16)
+
+
+def _layer_norm(x, eps=1e-6):
+    """dhg.ops.basic.layer_norm with dtype=bf16: f32 fast-variance stats,
+    normalize the un-promoted input, cast back to bf16."""
+    xf = x.astype(F32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    return ((x - mu) * jax.lax.rsqrt(var + eps)).astype(BF16)
+
+
+def _one_head(qh, kh, vh, scale, neg):
+    """softmax(q k^T * scale + neg) v for one head: [T,hd] x [L,hd]."""
+    logits = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=F32
+    ).astype(BF16) * jnp.asarray(scale, BF16)
+    if neg is not None:
+        logits = logits + neg  # [T, L] + [1, L] broadcast
+    lf = logits.astype(F32)
+    lf = lf - jnp.max(lf, axis=-1, keepdims=True)
+    e = jnp.exp(lf)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
+    return jax.lax.dot_general(
+        w, vh, (((1,), (0,)), ((), ())), preferred_element_type=F32
+    ).astype(BF16)
+
+
+def _sdpa(q, k, v, num_heads, neg=None):
+    """Per-head attention; q [T, D] with heads as column blocks (the flax
+    reshape layout); k/v either column blocks [L, D] (self-attention,
+    computed in-kernel) or head-major [H, L, hd] (precomputed cross K/V).
+    Numerics match _sdpa_jnp: bf16 logits, f32 softmax, bf16 PV."""
+    t, d = q.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    head_major = k.ndim == 3
+    outs = []
+    for h in range(num_heads):
+        qh = q[:, h * hd:(h + 1) * hd]
+        kh = k[h] if head_major else k[:, h * hd:(h + 1) * hd]
+        vh = v[h] if head_major else v[:, h * hd:(h + 1) * hd]
+        outs.append(_one_head(qh, kh, vh, scale, neg))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _encoder_layer(x, pe, neg, num_heads, ops):
+    """One EncoderLayer.attend (dhg/models/encoder_layer.py) on [T, D]."""
+    (kh, vh, wq, bq, wo, bo,
+     wq2, bq2, wk2, bk2, wv2, bv2, wo2, bo2,
+     w1, b1, w2, b2, g1, be1, g2, be2, g3, be3) = ops
+
+    x_pe = x + pe
+    q = _dense(x_pe, wq, bq)
+    x2 = _dense(_sdpa(q, kh, vh, num_heads, neg), wo, bo)
+    x2 = _layer_norm(x2)
+    x2 = x2 * g1 + be1 + x
+
+    x2_pe = x2 + pe
+    q2 = _dense(x2_pe, wq2, bq2)
+    k2 = _dense(x2_pe, wk2, bk2)
+    v2 = _dense(x2, wv2, bv2)
+    x3 = _dense(_sdpa(q2, k2, v2, num_heads), wo2, bo2)
+    x3 = _layer_norm(x2 + x3)
+    x3 = x3 * g2 + be2
+
+    # FFN: SiLU -> fc1 -> SiLU -> fc2 (ops/basic.py FFN, act_before=True)
+    h = _dense(_silu(x3), w1, b1)
+    x4 = _dense(_silu(h), w2, b2)
+    x4 = x4 + x3
+    return _layer_norm(x4) * g3 + be3
+
+
+def _make_kernel(num_layers, num_heads):
+    def kernel(*refs):
+        x_ref, aw_ref, ab_ref, pe_ref, neg_ref = refs[:5]
+        out_ref = refs[-1]
+        x = _dense(x_ref[0], aw_ref[:], ab_ref[:])  # att_dense
+        pe = pe_ref[:]
+        neg = neg_ref[0]  # [1, L] additive mask bias
+        for i in range(num_layers):
+            vals = [r[:] for r in refs[5 + i * _PER_LAYER: 5 + (i + 1) * _PER_LAYER]]
+            vals[0] = vals[0][0]  # kh [1, L, D] -> [L, D]
+            vals[1] = vals[1][0]  # vh
+            x = _encoder_layer(x, pe, neg, num_heads, tuple(vals))
+        out_ref[0] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_layers", "num_heads", "interpret")
+)
+def fused_bottleneck(
+    x,  # [B, T8, Cin] bf16 (pooled h3)
+    att_w, att_b,  # [Cin, D], [D]
+    pe,  # [T8, D] positional embedding constant
+    neg_mask,  # [B, 1, L] additive mask bias (mask * -1e9), bf16
+    layer_ops,  # flat tuple, _PER_LAYER entries per layer
+    num_layers: int,
+    num_heads: int = 6,
+    interpret: bool = False,
+):
+    b, t8, cin = x.shape
+    d = att_w.shape[-1]
+    l = neg_mask.shape[-1]
+    hd = d // num_heads
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    per_x = pl.BlockSpec((1, t8, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    per_o = pl.BlockSpec((1, t8, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    per_kv = pl.BlockSpec(
+        (1, num_heads, l, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    per_neg = pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [per_x, full, full, full, per_neg]
+    for _ in range(num_layers):
+        in_specs += [per_kv, per_kv] + [full] * (_PER_LAYER - 2)
+
+    return pl.pallas_call(
+        _make_kernel(num_layers, num_heads),
+        out_shape=jax.ShapeDtypeStruct((b, t8, d), x.dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=per_o,
+        interpret=interpret,
+    )(x, att_w, att_b, pe, neg_mask, *layer_ops)

@@ -23,6 +23,17 @@ def use_fused_attention() -> bool:
         return False
 
 
+def use_fused_bottleneck() -> bool:
+    """Route the sampler's attention-bottleneck stack (att_dense + N
+    EncoderLayers at T/8) through the fused Pallas megakernel (TPU only)."""
+    if os.environ.get("DHG_FUSED_BOTTLENECK", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def use_fused_conv_block() -> bool:
     """Route ConvBlock through the fused Pallas kernel (TPU only)."""
     if os.environ.get("DHG_FUSED_CONVBLOCK", "0") != "1":

@@ -63,14 +63,15 @@ class DiffusionModel(nn.Module):
         self.input_dense = dense(c1, 2, dt)
         self.enc1 = ConvBlock(c1, dilation=1, drop_rate=dr, dtype=dt)
         self.enc2 = ConvBlock(c2, dilation=1, drop_rate=dr, dtype=dt)
-        self.enc3 = EncoderLayer(c2, 3, dr, pos_factor=4.0, dtype=dt)
+        self.enc3 = EncoderLayer(c2, 3, dr, pos_factor=4.0, dtype=dt, d_inp=c2 * 2)
         self.enc4 = ConvBlock(c3, dilation=1, drop_rate=dr, dtype=dt)
-        self.enc5 = EncoderLayer(c3, 4, dr, pos_factor=2.0, dtype=dt)
+        self.enc5 = EncoderLayer(c3, 4, dr, pos_factor=2.0, dtype=dt, d_inp=c2 * 2)
 
         self.att_dense = dense(c2 * 2, c3, dt)
         # List entries auto-name as att_layers_<i> under setup.
         self.att_layers = [
-            EncoderLayer(c2 * 2, 6, dr, dtype=dt) for i in range(self.num_layers)
+            EncoderLayer(c2 * 2, 6, dr, dtype=dt, d_inp=c2 * 2)
+            for i in range(self.num_layers)
         ]
 
         self.skip_conv1 = conv1d_same(c2, c1, dtype=dt)
@@ -99,7 +100,47 @@ class DiffusionModel(nn.Module):
         """[B, L] tokens + [B, 14, 1280] style -> [B, L, 2*c2] memory."""
         return self.text_style_model(text, style, sigma_emb, deterministic)
 
+    def encode_cond_pre(
+        self, text: jnp.ndarray, style: jnp.ndarray, deterministic: bool = True
+    ):
+        """sigma-independent half of the conditioning encoder — the sampler
+        runs this once per call instead of once per diffusion step."""
+        return self.text_style_model.pre(text, style, deterministic)
+
+    def encode_cond_tail(self, pre, sigma_emb: jnp.ndarray) -> jnp.ndarray:
+        """sigma-dependent half; encode_cond == encode_cond_tail(encode_cond_pre)."""
+        text_pre, style_pre = pre
+        return self.text_style_model.tail(text_pre, style_pre, sigma_emb)
+
     # -- the U-Net ----------------------------------------------------------
+
+    def precompute_cross_kv(self, cond: jnp.ndarray, sigma_emb: jnp.ndarray):
+        """All cross-attention (K, V) pairs — the full text side of every
+        EncoderLayer (text projection, LN, affine, PE, Wk/Wv head split).
+
+        Depends only on (cond, sigma_emb), never on x_t: the sampler runs
+        this for all 60 diffusion steps in one vmapped pass outside the
+        scan and feeds the result to denoise(kvs=...), which is numerically
+        identical to denoise() but keeps the hot loop stroke-side only.
+        Order: (enc3, enc5, att_layers...).
+        """
+        layers = (self.enc3, self.enc5, *self.att_layers)
+        return tuple(layer.text_kv(cond, sigma_emb) for layer in layers)
+
+    def precompute_film(self, sigma_emb: jnp.ndarray):
+        """FiLM (gamma, beta) pairs for every affine on the x_t path — 23
+        tiny sigma-only Denses that the sampler hoists out of its scan
+        (alongside precompute_cross_kv) so the hot loop runs zero
+        sigma-side ops. Keys: "conv" = (enc1, enc2, enc4, dec3, dec2, dec1)
+        ConvBlock coefficient triples; "attn" = (enc3, enc5, att_layers...)
+        EncoderLayer coefficient triples.
+        """
+        conv_blocks = (self.enc1, self.enc2, self.enc4, self.dec3, self.dec2, self.dec1)
+        attn_layers = (self.enc3, self.enc5, *self.att_layers)
+        return {
+            "conv": tuple(b.film_coeffs(sigma_emb) for b in conv_blocks),
+            "attn": tuple(l.film_coeffs(sigma_emb) for l in attn_layers),
+        }
 
     def encode_unet(
         self,
@@ -108,21 +149,30 @@ class DiffusionModel(nn.Module):
         sigma_emb: jnp.ndarray,
         text_mask: jnp.ndarray,
         deterministic: bool = True,
+        kvs=None,
+        films=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Encoder half: x_t -> (h1 [B,T,c1], h2 [B,T/2,c2], h3 [B,T/4,c3]).
 
         Split out so the sampler's optional encoder-reuse mode (Li et al.,
         "Faster Diffusion", arXiv:2312.09608 — encoder features vary slowly
-        across adjacent timesteps) can cache these between steps.
+        across adjacent timesteps) can cache these between steps. `kvs` /
+        `films` optionally carry precomputed cross-attention K/V pairs and
+        FiLM coefficients (precompute_cross_kv / precompute_film); cond is
+        then unused.
         """
+        cf = films["conv"] if films is not None else (None,) * 6
+        af = films["attn"] if films is not None else (None,) * (2 + self.num_layers)
         x = self.input_dense(strokes)
-        h1 = self.enc1(x, sigma_emb, deterministic)
+        h1 = self.enc1(x, sigma_emb, deterministic, coeffs=cf[0])
         h2 = avg_pool_1d(h1)
-        h2 = self.enc2(h2, sigma_emb, deterministic)
-        h2 = self.enc3(h2, cond, sigma_emb, text_mask, deterministic)
+        h2 = self.enc2(h2, sigma_emb, deterministic, coeffs=cf[1])
+        kv3 = kvs[0] if kvs is not None else self.enc3.text_kv(cond, sigma_emb)
+        h2 = self.enc3.attend(h2, kv3, sigma_emb, text_mask, deterministic, af[0])
         h3 = avg_pool_1d(h2)
-        h3 = self.enc4(h3, sigma_emb, deterministic)
-        h3 = self.enc5(h3, cond, sigma_emb, text_mask, deterministic)
+        h3 = self.enc4(h3, sigma_emb, deterministic, coeffs=cf[2])
+        kv5 = kvs[1] if kvs is not None else self.enc5.text_kv(cond, sigma_emb)
+        h3 = self.enc5.attend(h3, kv5, sigma_emb, text_mask, deterministic, af[1])
         return h1, h2, h3
 
     def decode_unet(
@@ -132,25 +182,96 @@ class DiffusionModel(nn.Module):
         sigma_emb: jnp.ndarray,
         text_mask: jnp.ndarray,
         deterministic: bool = True,
+        kvs=None,
+        films=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Bottleneck + decoder half: (h1, h2, h3) -> (eps_pred, pen)."""
+        cf = films["conv"] if films is not None else (None,) * 6
+        af = films["attn"] if films is not None else (None,) * (2 + self.num_layers)
         h1, h2, h3 = feats
         x = avg_pool_1d(h3)
-        x = self.att_dense(x)
-        for layer in self.att_layers:
-            x = layer(x, cond, sigma_emb, text_mask, deterministic)
+        if self._can_fuse_bottleneck(kvs, films, deterministic):
+            x = self._fused_bottleneck(x, kvs, films, text_mask)
+        else:
+            x = self.att_dense(x)
+            for i, layer in enumerate(self.att_layers):
+                kv = kvs[2 + i] if kvs is not None else layer.text_kv(cond, sigma_emb)
+                x = layer.attend(x, kv, sigma_emb, text_mask, deterministic, af[2 + i])
 
         x = upsample_nearest_1d(x) + self.skip_conv3(h3)
-        x = self.dec3(x, sigma_emb, deterministic)
+        x = self.dec3(x, sigma_emb, deterministic, coeffs=cf[3])
         x = upsample_nearest_1d(x) + self.skip_conv2(h2)
-        x = self.dec2(x, sigma_emb, deterministic)
+        x = self.dec2(x, sigma_emb, deterministic, coeffs=cf[4])
         x = upsample_nearest_1d(x) + self.skip_conv1(h1)
-        x = self.dec1(x, sigma_emb, deterministic)
+        x = self.dec1(x, sigma_emb, deterministic, coeffs=cf[5])
 
         eps_pred = self.output_dense(x)
         pen = nn.sigmoid(self.pen_lifts_dense(x))[..., 0]
         # Heads return float32 for numerically stable losses/sampling.
         return eps_pred.astype(jnp.float32), pen.astype(jnp.float32)
+
+    def _can_fuse_bottleneck(self, kvs, films, deterministic) -> bool:
+        """The Pallas bottleneck megakernel applies on the sampler path
+        only: DHG_FUSED_BOTTLENECK=1, bf16 compute, precomputed kvs+films
+        (with the B=1 FiLM broadcast), no active dropout. Forward-only —
+        the sampler never differentiates."""
+        from dhg.kernels.runtime import use_fused_bottleneck
+
+        return (
+            not self.is_initializing()
+            and use_fused_bottleneck()
+            and kvs is not None
+            and films is not None
+            and self.dtype == jnp.bfloat16
+            and (self.drop_rate == 0.0 or deterministic)
+            and films["attn"][2][0][0].shape[0] == 1  # B=1 gamma broadcast
+        )
+
+    def _fused_bottleneck(self, x, kvs, films, text_mask):
+        """Collect weights and dispatch the Pallas megakernel (att_dense +
+        the whole att_layers stack in ONE program per batch row)."""
+        from dhg.kernels.fused_bottleneck import fused_bottleneck
+        from dhg.ops.attention import pos_embeddings
+
+        bf = jnp.bfloat16
+        d = self.c2 * 2
+
+        def wb(mod):
+            p = mod.variables["params"]
+            return p["kernel"].astype(bf), p["bias"].astype(bf)
+
+        def ffn_wb(ffn, name):
+            p = ffn.variables["params"][name]
+            return p["kernel"].astype(bf), p["bias"].astype(bf)
+
+        aw, ab = wb(self.att_dense)
+        pe = pos_embeddings(x.shape[1], d, 1.0, bf)[0]
+        neg = (text_mask * -1e9).astype(bf)[:, 0]  # [B, 1, L]
+
+        ops = []
+        for i, layer in enumerate(self.att_layers):
+            kh, vh = kvs[2 + i]  # [B, H, L, hd]
+            (g1, be1), (g2, be2), (g3, be3) = films["attn"][2 + i]
+            ops += [
+                kh.astype(bf),
+                vh.astype(bf),
+                *wb(layer.mha.wq), *wb(layer.mha.dense),
+                *wb(layer.mha2.wq), *wb(layer.mha2.wk),
+                *wb(layer.mha2.wv), *wb(layer.mha2.dense),
+                *ffn_wb(layer.ffn, "fc1"), *ffn_wb(layer.ffn, "fc2"),
+                g1.astype(bf), be1.astype(bf),
+                g2.astype(bf), be2.astype(bf),
+                g3.astype(bf), be3.astype(bf),
+            ]
+
+        heads = self.att_layers[0].num_heads
+        import jax as _jax
+
+        return fused_bottleneck(
+            x.astype(bf), aw, ab, pe, neg, tuple(ops),
+            num_layers=self.num_layers, num_heads=heads,
+            interpret=_jax.default_backend() != "tpu",
+        )
 
     def denoise(
         self,
@@ -159,9 +280,15 @@ class DiffusionModel(nn.Module):
         sigma_emb: jnp.ndarray,
         text_mask: jnp.ndarray,
         deterministic: bool = True,
+        kvs=None,
+        films=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        feats = self.encode_unet(strokes, cond, sigma_emb, text_mask, deterministic)
-        return self.decode_unet(feats, cond, sigma_emb, text_mask, deterministic)
+        feats = self.encode_unet(
+            strokes, cond, sigma_emb, text_mask, deterministic, kvs, films
+        )
+        return self.decode_unet(
+            feats, cond, sigma_emb, text_mask, deterministic, kvs, films
+        )
 
     def __call__(
         self,

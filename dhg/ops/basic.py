@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dhg.ops.init import torch_bias_init, torch_kernel_init
@@ -32,9 +33,21 @@ def dense(features: int, in_features: int, dtype: Any = None, name: str | None =
     )
 
 
-def layer_norm(x: jnp.ndarray, dtype: Any = None) -> jnp.ndarray:
-    """LayerNorm(eps=1e-6) without learned affine, as a pure function."""
-    return nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False, dtype=dtype)(x)
+def layer_norm(x: jnp.ndarray, dtype: Any = None, eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm(eps=1e-6) without learned affine, as a pure function.
+
+    Bit-identical to flax nn.LayerNorm(use_bias=False, use_scale=False,
+    dtype=dtype) — float32 statistics with the fast-variance formula
+    max(0, E[x^2] - E[x]^2), normalization of the un-promoted input, result
+    cast back to `dtype` (or the input dtype). Pure so it can be called from
+    non-compact module methods (tests/test_model.py pins the equivalence).
+    """
+    stat_dtype = jnp.promote_types(dtype if dtype is not None else x.dtype, jnp.float32)
+    xf = x.astype(stat_dtype)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y.astype(dtype if dtype is not None else x.dtype)
 
 
 class AffineTransformLayer(nn.Module):
@@ -66,9 +79,17 @@ class AffineTransformLayer(nn.Module):
         """(gamma [B, C], beta [B, C]) for a sigma embedding."""
         return self.gamma_emb(sigma_emb), self.beta_emb(sigma_emb)
 
-    def __call__(self, x: jnp.ndarray, sigma_emb: jnp.ndarray) -> jnp.ndarray:
-        gamma, beta = self.coefficients(sigma_emb)
+    @staticmethod
+    def apply_coeffs(
+        x: jnp.ndarray, coeffs: tuple[jnp.ndarray, jnp.ndarray]
+    ) -> jnp.ndarray:
+        """FiLM with precomputed (gamma, beta) — the sampler hoists the
+        coefficient Denses for all 60 steps out of its scan."""
+        gamma, beta = coeffs
         return x * gamma[:, None, :] + beta[:, None, :]
+
+    def __call__(self, x: jnp.ndarray, sigma_emb: jnp.ndarray) -> jnp.ndarray:
+        return self.apply_coeffs(x, self.coefficients(sigma_emb))
 
 
 class FFN(nn.Module):

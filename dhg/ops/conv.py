@@ -87,20 +87,38 @@ class ConvBlock(nn.Module):
         self.affine3 = AffineTransformLayer(self.d_out, self.dtype)
         self.drop = nn.Dropout(self.drop_rate)
 
-    def _unfused(self, x, sigma_emb, deterministic):
+    def film_coeffs(self, sigma_emb: jnp.ndarray):
+        """(gamma, beta) for all three FiLM affines — x_t-independent, so the
+        sampler precomputes them for all 60 steps outside its scan."""
+        return (
+            self.affine1.coefficients(sigma_emb),
+            self.affine2.coefficients(sigma_emb),
+            self.affine3.coefficients(sigma_emb),
+        )
+
+    def _unfused(self, x, coeffs, deterministic):
+        c1, c2, c3 = coeffs
+        film = AffineTransformLayer.apply_coeffs
         skip = self.conv_skip(x)
         h = self.conv1(nn.silu(x))
-        h = self.drop(self.affine1(h, sigma_emb), deterministic=deterministic)
+        h = self.drop(film(h, c1), deterministic=deterministic)
         h = self.conv2(nn.silu(h))
-        h = self.drop(self.affine2(h, sigma_emb), deterministic=deterministic)
+        h = self.drop(film(h, c2), deterministic=deterministic)
         h = self.fc(nn.silu(h))
-        h = self.drop(self.affine3(h, sigma_emb), deterministic=deterministic)
+        h = self.drop(film(h, c3), deterministic=deterministic)
         return h + skip
 
     def __call__(
-        self, x: jnp.ndarray, sigma_emb: jnp.ndarray, deterministic: bool = True
+        self,
+        x: jnp.ndarray,
+        sigma_emb: jnp.ndarray,
+        deterministic: bool = True,
+        coeffs=None,
     ) -> jnp.ndarray:
         from dhg.kernels.runtime import use_fused_conv_block
+
+        if coeffs is None:
+            coeffs = self.film_coeffs(sigma_emb)
 
         fused_ok = (
             not self.is_initializing()
@@ -109,13 +127,11 @@ class ConvBlock(nn.Module):
             and (self.drop_rate == 0.0 or deterministic)
         )
         if not fused_ok:
-            return self._unfused(x, sigma_emb, deterministic)
+            return self._unfused(x, coeffs, deterministic)
 
         from dhg.kernels.fused_conv_block import conv_block_fused_op
 
-        g1, be1 = self.affine1.coefficients(sigma_emb)
-        g2, be2 = self.affine2.coefficients(sigma_emb)
-        g3, be3 = self.affine3.coefficients(sigma_emb)
+        (g1, be1), (g2, be2), (g3, be3) = coeffs
 
         def wb(mod):
             p = mod.variables["params"]

@@ -1,0 +1,87 @@
+"""Pallas bottleneck megakernel vs the unfused XLA path (interpret mode).
+
+The kernel (dhg/kernels/fused_bottleneck.py) runs att_dense + the whole
+EncoderLayer stack for one batch row in a single Pallas program. It must
+match the unfused bf16 path within bf16 tolerance given identical
+precomputed kvs/films (the sampler's hoisted context).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhg.models.denoiser import DiffusionModel
+from dhg.ops.basic import create_padding_mask
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    model = DiffusionModel(num_layers=2, c1=64, c2=96, c3=128, dtype=jnp.bfloat16)
+    text = jax.random.randint(jax.random.PRNGKey(1), (3, 10), 1, 73)
+    style = jax.random.normal(jax.random.PRNGKey(2), (3, 14, 1280))
+    strokes = jax.random.normal(jax.random.PRNGKey(3), (3, 48, 2))
+    sigma = jnp.full((3, 1), 0.7)
+    params = model.init(jax.random.PRNGKey(0), strokes, text, sigma, style)["params"]
+
+    sig1 = model.apply(
+        {"params": params}, sigma[:1], method=DiffusionModel.embed_sigma
+    )
+    cond = model.apply(
+        {"params": params}, text, style, sig1, method=DiffusionModel.encode_cond
+    )
+    kvs = model.apply(
+        {"params": params}, cond, sig1, method=DiffusionModel.precompute_cross_kv
+    )
+    films = model.apply(
+        {"params": params}, sig1, method=DiffusionModel.precompute_film
+    )
+    mask = create_padding_mask(text)
+    # Pooled-h3-shaped input to the bottleneck: [B, T/8, c3]
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 6, 128), jnp.bfloat16)
+    return model, params, x, kvs, films, mask
+
+
+def _unfused(model, params, x, kvs, films, mask):
+    def run(m, xb):
+        h = m.att_dense(xb)
+        af = films["attn"]
+        for i, layer in enumerate(m.att_layers):
+            h = layer.attend(h, kvs[2 + i], None, mask, True, af[2 + i])
+        return h
+
+    return model.apply({"params": params}, x, method=run)
+
+
+def _fused(model, params, x, kvs, films, mask):
+    def run(m, xb):
+        return m._fused_bottleneck(xb, kvs, films, mask)
+
+    return model.apply({"params": params}, x, method=run)
+
+
+def test_fused_bottleneck_matches_unfused(ctx):
+    model, params, x, kvs, films, mask = ctx
+    a = np.asarray(_unfused(model, params, x, kvs, films, mask), np.float32)
+    b = np.asarray(_fused(model, params, x, kvs, films, mask), np.float32)
+    assert a.shape == b.shape == (3, 6, 192)
+    # bf16 path, different op fusion order -> allow bf16-scale mismatch
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    # but the bulk must agree tightly
+    assert np.median(np.abs(a - b)) < 5e-3
+
+
+def test_fused_gate_requires_sampler_context(ctx):
+    model, params, x, kvs, films, mask = ctx
+    gate = model.apply(
+        {"params": params}, kvs, films, True,
+        method=DiffusionModel._can_fuse_bottleneck,
+    )
+    # On CPU (tests) the env flag is off -> gate is False; the helper must
+    # also reject missing kvs/films regardless of flag.
+    assert gate in (True, False)
+    gate_none = model.apply(
+        {"params": params}, None, None, True,
+        method=DiffusionModel._can_fuse_bottleneck,
+    )
+    assert gate_none is False
