@@ -80,6 +80,25 @@ def timed(fn, key, iters: int):
     return np.asarray(times)
 
 
+def timed_sustained(fn, key, iters: int) -> float:
+    """Sustained throughput: queue `iters` calls, fence once at the end.
+
+    The per-call D2H fence in timed() includes ~35 ms of axon-tunnel RTT
+    per call (measured round 2, DEVNOTES.md) — a harness artifact, not
+    device time. A serving/sweep pipeline dispatches continuously, so
+    throughput is measured with chained dispatch; latency (p50) keeps the
+    per-call fence since a single request really does pay the round trip.
+    Returns seconds per call.
+    """
+    out = fn(key)
+    np.asarray(out)  # absorb any layout recompile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(jax.random.fold_in(key, i))
+    np.asarray(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_training(batch: int = 96, steps: int = 20) -> float:
     """Fused train-step throughput (steps/s) at the reference's best-run
     batch size on synthetic data — comparable to run.log's ~10.4 steps/s
@@ -115,12 +134,13 @@ def main():
     seq_len = infer_seq_len(PROMPT_LEN)  # 392
     key = jax.random.PRNGKey(123)
 
-    # Throughput: batch-256 sampler (BASELINE config 5's sweep batch size).
+    # Throughput: batch-256 sampler (BASELINE config 5's sweep batch size),
+    # sustained dispatch (see timed_sustained for the methodology note).
     batch = 256
     sample_b = build(batch, seq_len)
     jax.block_until_ready(sample_b(key))  # compile
-    times_b = timed(sample_b, key, 5)
-    steps_per_sec = N_STEPS * batch / times_b.min()
+    sec_per_call = timed_sustained(sample_b, key, 6)
+    steps_per_sec = N_STEPS * batch / sec_per_call
 
     # Latency: single line.
     sample_1 = build(1, seq_len)
@@ -143,6 +163,7 @@ def main():
         "batch": batch,
         "seq_len": seq_len,
         "n_diffusion_steps": N_STEPS,
+        "throughput_timing": "sustained-dispatch (p50 is per-call fenced)",
         "train_steps_per_sec_batch96": round(train_sps, 2) if train_sps else None,
         "train_vs_a100_10.4": round(train_sps / 10.4, 2) if train_sps else None,
         "backend": jax.default_backend(),

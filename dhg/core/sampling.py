@@ -197,6 +197,11 @@ def diffusion_sample_encoder_reuse(
     conditioning. reuse_every=1 is exact (identical math to
     diffusion_sample); larger values trade fidelity for speed.
 
+    QUALITY WARNING (measured round 2, PERFORMANCE.md): on trained weights
+    reuse_every=2 drifts to 3x the 1e-3 stroke-MSE parity bar and
+    reuse_every>=3 diverges numerically (MSE > 1e6). No recommended
+    setting exists; this stays an experimental research knob.
+
     encode_fn(x, ctx) -> feats pytree; decode_fn(feats, ctx) -> (eps, pen).
     step_ctx follows diffusion_sample's reverse-order convention.
     """

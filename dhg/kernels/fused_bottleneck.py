@@ -103,15 +103,33 @@ def _sdpa(q, k, v, num_heads, neg=None):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _encoder_layer(x, pe, neg, num_heads, ops):
-    """One EncoderLayer.attend (dhg/models/encoder_layer.py) on [T, D]."""
+def _encoder_layer(x, pe, negs, num_heads, rows, t, ops):
+    """One EncoderLayer.attend (dhg/models/encoder_layer.py) on `rows`
+    packed batch rows: x, pe are [rows*T, D] so every dense/LN/FiLM op is
+    one rows-times-bigger matmul/vector op; only the SDPA inner products
+    run per (row, head). kh/vh: [rows, H, L, hd]; negs: [rows, 1, L]."""
     (kh, vh, wq, bq, wo, bo,
      wq2, bq2, wk2, bk2, wv2, bv2, wo2, bo2,
      w1, b1, w2, b2, g1, be1, g2, be2, g3, be3) = ops
 
+    def per_row_sdpa(q, k_of_row, v_of_row, neg_of_row):
+        outs = []
+        for r in range(rows):
+            outs.append(
+                _sdpa(
+                    q[r * t:(r + 1) * t],
+                    k_of_row(r),
+                    v_of_row(r),
+                    num_heads,
+                    neg_of_row(r),
+                )
+            )
+        return jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
+
     x_pe = x + pe
     q = _dense(x_pe, wq, bq)
-    x2 = _dense(_sdpa(q, kh, vh, num_heads, neg), wo, bo)
+    att = per_row_sdpa(q, lambda r: kh[r], lambda r: vh[r], lambda r: negs[r])
+    x2 = _dense(att, wo, bo)
     x2 = _layer_norm(x2)
     x2 = x2 * g1 + be1 + x
 
@@ -119,7 +137,13 @@ def _encoder_layer(x, pe, neg, num_heads, ops):
     q2 = _dense(x2_pe, wq2, bq2)
     k2 = _dense(x2_pe, wk2, bk2)
     v2 = _dense(x2, wv2, bv2)
-    x3 = _dense(_sdpa(q2, k2, v2, num_heads), wo2, bo2)
+    att2 = per_row_sdpa(
+        q2,
+        lambda r: k2[r * t:(r + 1) * t],
+        lambda r: v2[r * t:(r + 1) * t],
+        lambda r: None,
+    )
+    x3 = _dense(att2, wo2, bo2)
     x3 = _layer_norm(x2 + x3)
     x3 = x3 * g2 + be2
 
@@ -130,25 +154,24 @@ def _encoder_layer(x, pe, neg, num_heads, ops):
     return _layer_norm(x4) * g3 + be3
 
 
-def _make_kernel(num_layers, num_heads):
+def _make_kernel(num_layers, num_heads, rows, t8):
     def kernel(*refs):
         x_ref, aw_ref, ab_ref, pe_ref, neg_ref = refs[:5]
         out_ref = refs[-1]
-        x = _dense(x_ref[0], aw_ref[:], ab_ref[:])  # att_dense
-        pe = pe_ref[:]
-        neg = neg_ref[0]  # [1, L] additive mask bias
+        cin = x_ref.shape[-1]
+        x = _dense(x_ref[...].reshape(rows * t8, cin), aw_ref[:], ab_ref[:])
+        pe = pe_ref[:]  # [rows*T8, D], pre-tiled
+        negs = neg_ref[...]  # [rows, 1, L]
         for i in range(num_layers):
             vals = [r[:] for r in refs[5 + i * _PER_LAYER: 5 + (i + 1) * _PER_LAYER]]
-            vals[0] = vals[0][0]  # kh [1, L, D] -> [L, D]
-            vals[1] = vals[1][0]  # vh
-            x = _encoder_layer(x, pe, neg, num_heads, tuple(vals))
-        out_ref[0] = x
+            x = _encoder_layer(x, pe, negs, num_heads, rows, t8, tuple(vals))
+        out_ref[...] = x.reshape(rows, t8, x.shape[-1])
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_layers", "num_heads", "interpret")
+    jax.jit, static_argnames=("num_layers", "num_heads", "rows", "interpret")
 )
 def fused_bottleneck(
     x,  # [B, T8, Cin] bf16 (pooled h3)
@@ -158,30 +181,36 @@ def fused_bottleneck(
     layer_ops,  # flat tuple, _PER_LAYER entries per layer
     num_layers: int,
     num_heads: int = 6,
+    rows: int = 1,  # batch rows packed per grid cell (must divide B)
     interpret: bool = False,
 ):
     b, t8, cin = x.shape
     d = att_w.shape[-1]
     l = neg_mask.shape[-1]
     hd = d // num_heads
+    assert b % rows == 0, (b, rows)
+
+    pe_tiled = jnp.tile(pe, (rows, 1))
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    per_x = pl.BlockSpec((1, t8, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    per_o = pl.BlockSpec((1, t8, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    per_kv = pl.BlockSpec(
-        (1, num_heads, l, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    per_x = pl.BlockSpec(
+        (rows, t8, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    per_neg = pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    per_o = pl.BlockSpec((rows, t8, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    per_kv = pl.BlockSpec(
+        (rows, num_heads, l, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    per_neg = pl.BlockSpec((rows, 1, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     in_specs = [per_x, full, full, full, per_neg]
     for _ in range(num_layers):
         in_specs += [per_kv, per_kv] + [full] * (_PER_LAYER - 2)
 
     return pl.pallas_call(
-        _make_kernel(num_layers, num_heads),
+        _make_kernel(num_layers, num_heads, rows, t8),
         out_shape=jax.ShapeDtypeStruct((b, t8, d), x.dtype),
-        grid=(b,),
+        grid=(b // rows,),
         in_specs=in_specs,
         out_specs=per_o,
         interpret=interpret,
-    )(x, att_w, att_b, pe, neg_mask, *layer_ops)
+    )(x, att_w, att_b, pe_tiled, neg_mask, *layer_ops)

@@ -212,14 +212,20 @@ class DiffusionModel(nn.Module):
 
     def _can_fuse_bottleneck(self, kvs, films, deterministic) -> bool:
         """The Pallas bottleneck megakernel applies on the sampler path
-        only: DHG_FUSED_BOTTLENECK=1, bf16 compute, precomputed kvs+films
-        (with the B=1 FiLM broadcast), no active dropout. Forward-only —
-        the sampler never differentiates."""
-        from dhg.kernels.runtime import use_fused_bottleneck
+        only: bf16 compute, precomputed kvs+films (with the B=1 FiLM
+        broadcast), no active dropout. Default-on on TPU for the canonical
+        d=384 bottleneck ("auto"); DHG_FUSED_BOTTLENECK=1 forces any
+        shape, =0 disables. Forward-only — the sampler never
+        differentiates."""
+        from dhg.kernels.runtime import fused_bottleneck_mode
 
+        mode = fused_bottleneck_mode()
+        if mode == "off":
+            return False
+        if mode == "auto" and self.c2 * 2 != 384:
+            return False
         return (
             not self.is_initializing()
-            and use_fused_bottleneck()
             and kvs is not None
             and films is not None
             and self.dtype == jnp.bfloat16
@@ -267,9 +273,11 @@ class DiffusionModel(nn.Module):
         heads = self.att_layers[0].num_heads
         import jax as _jax
 
+        b = x.shape[0]
+        rows = next(r for r in (8, 4, 2, 1) if b % r == 0)
         return fused_bottleneck(
             x.astype(bf), aw, ab, pe, neg, tuple(ops),
-            num_layers=self.num_layers, num_heads=heads,
+            num_layers=self.num_layers, num_heads=heads, rows=rows,
             interpret=_jax.default_backend() != "tpu",
         )
 

@@ -71,6 +71,30 @@ def test_fused_bottleneck_matches_unfused(ctx):
     assert np.median(np.abs(a - b)) < 5e-3
 
 
+def test_fused_bottleneck_row_packed(ctx):
+    """B=8 exercises rows=8 packing (one grid cell, 8x bigger matmuls)."""
+    model, params, _, _, _, _ = ctx
+    text = jax.random.randint(jax.random.PRNGKey(11), (8, 10), 1, 73)
+    style = jax.random.normal(jax.random.PRNGKey(12), (8, 14, 1280))
+    sigma = jnp.full((1, 1), 0.5)
+    sig1 = model.apply({"params": params}, sigma, method=DiffusionModel.embed_sigma)
+    cond = model.apply(
+        {"params": params}, text, style, sig1, method=DiffusionModel.encode_cond
+    )
+    kvs = model.apply(
+        {"params": params}, cond, sig1, method=DiffusionModel.precompute_cross_kv
+    )
+    films = model.apply(
+        {"params": params}, sig1, method=DiffusionModel.precompute_film
+    )
+    mask = create_padding_mask(text)
+    x = jax.random.normal(jax.random.PRNGKey(13), (8, 6, 128), jnp.bfloat16)
+    a = np.asarray(_unfused(model, params, x, kvs, films, mask), np.float32)
+    b = np.asarray(_fused(model, params, x, kvs, films, mask), np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    assert np.median(np.abs(a - b)) < 5e-3
+
+
 def test_fused_gate_requires_sampler_context(ctx):
     model, params, x, kvs, films, mask = ctx
     gate = model.apply(
