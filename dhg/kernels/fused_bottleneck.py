@@ -170,6 +170,177 @@ def _make_kernel(num_layers, num_heads, rows, t8):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Extended T/4 megakernel: enc4 ConvBlock + enc5 EncoderLayer + pool +
+# att_dense + att_layers + upsample + skip_conv3 + dec3 ConvBlock, all in
+# one program (the whole U-Net between the T/2 encoder and the T/2 decoder).
+# ---------------------------------------------------------------------------
+
+# ConvBlock operand order: wskip,bskip,w1,b1,w2,b2,wfc,bfc + 3 FiLM pairs
+_PER_CONV = 14
+
+
+def _conv3_packed(x3, w, b):
+    """k3 'same' conv over [R, T, Cin] as three shifted matmuls (row
+    boundaries zero-padded per row); w [3, Cin, Co]. One f32 rounding at
+    the end, like XLA's bf16 conv."""
+    r, t, cin = x3.shape
+    co = w.shape[-1]
+    zero = jnp.zeros_like(x3[:, :1])
+    prev = jnp.concatenate([zero, x3[:, : t - 1]], axis=1).reshape(r * t, cin)
+    mid = x3.reshape(r * t, cin)
+    nxt = jnp.concatenate([x3[:, 1:], zero], axis=1).reshape(r * t, cin)
+
+    def dot(a, wk):
+        return jax.lax.dot_general(
+            a, wk, (((1,), (0,)), ((), ())), preferred_element_type=F32
+        )
+
+    out = dot(prev, w[0]) + dot(mid, w[1]) + dot(nxt, w[2]) + b.astype(F32)
+    return out.astype(BF16).reshape(r, t, co)
+
+
+def _conv_block_packed(x3, ops):
+    """ConvBlock (dhg/ops/conv.py, dilation=1, no dropout) on packed rows."""
+    (wskip, bskip, w1, b1, w2, b2, wfc, bfc,
+     g1, be1, g2, be2, g3, be3) = ops
+    r, t, _ = x3.shape
+    skip = _conv3_packed(x3, wskip, bskip)
+    h = _conv3_packed(_silu(x3), w1, b1)
+    h = h * g1 + be1  # FiLM [1, C] broadcasts over [R, T, C]
+    h = _conv3_packed(_silu(h), w2, b2)
+    h = h * g2 + be2
+    h2d = _dense(_silu(h).reshape(r * t, h.shape[-1]), wfc, bfc)
+    h = h2d.reshape(r, t, h2d.shape[-1]) * g3 + be3
+    return h + skip
+
+
+def _avg_pool2_packed(x3):
+    """[R, T, C] -> [R, T//2, C] window-2 mean (dhg.ops.conv.avg_pool_1d)."""
+    r, t, c = x3.shape
+    return x3.reshape(r, t // 2, 2, c).mean(axis=2).astype(x3.dtype)
+
+
+def _upsample2_packed(x3):
+    """[R, T, C] -> [R, 2T, C] nearest (dhg.ops.conv.upsample_nearest_1d)."""
+    r, t, c = x3.shape
+    return jnp.concatenate([x3[:, :, None], x3[:, :, None]], axis=2).reshape(
+        r, 2 * t, c
+    )
+
+
+def _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4):
+    t8 = t4 // 2
+
+    def kernel(*refs):
+        (x_ref, neg_ref, pe4_ref, pe8_ref,
+         aw_ref, ab_ref, sk3w_ref, sk3b_ref) = refs[:8]
+        out_ref = refs[-1]
+        negs = neg_ref[...]
+        base = 8
+
+        enc4_ops = [r[:] for r in refs[base: base + _PER_CONV]]
+        base += _PER_CONV
+        enc5_ops = [r[:] for r in refs[base: base + _PER_LAYER]]
+        base += _PER_LAYER
+        dec3_ops = [r[:] for r in refs[base: base + _PER_CONV]]
+        base += _PER_CONV
+
+        # enc4 ConvBlock at T/4
+        x3 = _conv_block_packed(x_ref[...], tuple(enc4_ops))
+        c3 = x3.shape[-1]
+        # enc5 EncoderLayer at T/4
+        x2d = _encoder_layer(
+            x3.reshape(rows * t4, c3), pe4_ref[:], negs, enc5_heads,
+            rows, t4, tuple(enc5_ops),
+        )
+        h3 = x2d.reshape(rows, t4, c3)
+
+        # pool -> att_dense -> attention stack at T/8
+        xb = _avg_pool2_packed(h3)
+        x8 = _dense(xb.reshape(rows * t8, c3), aw_ref[:], ab_ref[:])
+        for i in range(num_layers):
+            ops = [r[:] for r in refs[base + i * _PER_LAYER: base + (i + 1) * _PER_LAYER]]
+            x8 = _encoder_layer(x8, pe8_ref[:], negs, att_heads, rows, t8, tuple(ops))
+        d = x8.shape[-1]
+
+        # upsample + skip_conv3 + dec3 ConvBlock back at T/4
+        xu = _upsample2_packed(x8.reshape(rows, t8, d))
+        skip = _conv3_packed(h3, sk3w_ref[:], sk3b_ref[:])
+        out = _conv_block_packed(xu + skip, tuple(dec3_ops))
+        out_ref[...] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_layers", "att_heads", "enc5_heads", "rows", "interpret"),
+)
+def fused_unet_t4(
+    x,  # [B, T4, c2] bf16 (pooled h2)
+    neg_mask,  # [B, 1, L]
+    pe4,  # [T4, c3] enc5 stroke PE (pos_factor=2)
+    pe8,  # [T8, D] bottleneck stroke PE (pos_factor=1)
+    att_w, att_b,
+    skip3_w, skip3_b,  # [3, c3, D], [D]
+    enc4_ops,  # _PER_CONV operands
+    enc5_ops,  # _PER_LAYER operands (kh/vh [B, H5, L, hd5])
+    dec3_ops,  # _PER_CONV operands
+    att_ops,  # num_layers * _PER_LAYER operands
+    num_layers: int,
+    att_heads: int = 6,
+    enc5_heads: int = 4,
+    rows: int = 4,
+    interpret: bool = False,
+):
+    b, t4, c2 = x.shape
+    c3 = skip3_w.shape[1]
+    d = att_w.shape[-1]
+    l = neg_mask.shape[-1]
+    assert b % rows == 0, (b, rows)
+
+    pe4_t = jnp.tile(pe4, (rows, 1))
+    pe8_t = jnp.tile(pe8, (rows, 1))
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def per(shape):
+        n = len(shape)
+        return pl.BlockSpec(
+            (rows,) + shape, lambda i: (i,) + (0,) * n, memory_space=pltpu.VMEM
+        )
+
+    def kv_spec(heads, hd):
+        return pl.BlockSpec(
+            (rows, heads, l, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    hd5 = enc5_ops[0].shape[-1]
+    hd8 = att_ops[0].shape[-1]
+
+    in_specs = [per((t4, c2)), per((1, l)), full, full, full, full, full, full]
+    in_specs += [full] * _PER_CONV
+    in_specs += [kv_spec(enc5_heads, hd5), kv_spec(enc5_heads, hd5)]
+    in_specs += [full] * (_PER_LAYER - 2)
+    in_specs += [full] * _PER_CONV
+    for _ in range(num_layers):
+        in_specs += [kv_spec(att_heads, hd8), kv_spec(att_heads, hd8)]
+        in_specs += [full] * (_PER_LAYER - 2)
+
+    return pl.pallas_call(
+        _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4),
+        out_shape=jax.ShapeDtypeStruct((b, t4, c3), x.dtype),
+        grid=(b // rows,),
+        in_specs=in_specs,
+        out_specs=per((t4, c3)),
+        interpret=interpret,
+    )(
+        x, neg_mask, pe4_t, pe8_t, att_w, att_b, skip3_w, skip3_b,
+        *enc4_ops, *enc5_ops, *dec3_ops, *att_ops,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_layers", "num_heads", "rows", "interpret")
 )

@@ -43,6 +43,22 @@ def fused_bottleneck_mode() -> str:
     return "on" if v == "1" else "auto"
 
 
+def fused_t4_mode() -> str:
+    """Extended T/4 U-Net megakernel (enc4+enc5+bottleneck+skip3+dec3 in
+    one program): "off" | "on". DEFAULT OFF — measured SLOWER than the
+    bottleneck-only kernel at both rows=4 and rows=8 packing (batch 96:
+    2.82 vs 2.57 ms/step; batch 256: 40.3k vs 46.8k steps/s — the
+    shifted-matmul convs and extra VMEM traffic inside one cell lose to
+    Mosaic/XLA's own scheduling of those stages; PERFORMANCE.md). Kept
+    as a tested, opt-in (DHG_FUSED_T4=1) negative result and template."""
+    if os.environ.get("DHG_FUSED_T4", "0") != "1":
+        return "off"
+    try:
+        return "on" if jax.default_backend() == "tpu" else "off"
+    except Exception:  # pragma: no cover
+        return "off"
+
+
 def use_fused_conv_block() -> bool:
     """Route ConvBlock through the fused Pallas kernel (TPU only)."""
     if os.environ.get("DHG_FUSED_CONVBLOCK", "0") != "1":

@@ -281,6 +281,119 @@ class DiffusionModel(nn.Module):
             interpret=_jax.default_backend() != "tpu",
         )
 
+    def _can_fuse_t4(self, kvs, films, deterministic) -> bool:
+        """Gate for the extended T/4 megakernel (enc4 + enc5 + bottleneck
+        + skip_conv3 + dec3 in one Pallas program). Same preconditions as
+        the bottleneck kernel; "auto" restricts to the canonical channel
+        plan (c1=128)."""
+        from dhg.kernels.runtime import fused_t4_mode
+
+        mode = fused_t4_mode()
+        if mode == "off":
+            return False
+        if mode == "auto" and (self.c1, self.c2, self.c3) != (128, 192, 256):
+            return False
+        return (
+            not self.is_initializing()
+            and kvs is not None
+            and films is not None
+            and self.dtype == jnp.bfloat16
+            and (self.drop_rate == 0.0 or deterministic)
+            and films["attn"][2][0][0].shape[0] == 1
+        )
+
+    def _denoise_fused_t4(
+        self, strokes, text_mask, kvs, films
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """denoise() with the whole T/4..T/8 region in one Pallas program
+        (dhg/kernels/fused_bottleneck.py::fused_unet_t4). Outer stages
+        (enc1-enc3, dec2-dec1, heads) mirror encode_unet/decode_unet."""
+        from dhg.kernels.fused_bottleneck import fused_unet_t4
+        from dhg.ops.attention import pos_embeddings
+
+        bf = jnp.bfloat16
+        cf = films["conv"]
+        af = films["attn"]
+
+        def wb(mod):
+            p = mod.variables["params"]
+            return p["kernel"].astype(bf), p["bias"].astype(bf)
+
+        def ffn_wb(ffn, name):
+            p = ffn.variables["params"][name]
+            return p["kernel"].astype(bf), p["bias"].astype(bf)
+
+        def conv_ops(block, film3):
+            (g1, be1), (g2, be2), (g3, be3) = film3
+            return [
+                *wb(block.conv_skip), *wb(block.conv1), *wb(block.conv2),
+                *wb(block.fc),
+                g1.astype(bf), be1.astype(bf),
+                g2.astype(bf), be2.astype(bf),
+                g3.astype(bf), be3.astype(bf),
+            ]
+
+        def layer_ops(layer, kv, film3):
+            kh, vh = kv
+            (g1, be1), (g2, be2), (g3, be3) = film3
+            return [
+                kh.astype(bf), vh.astype(bf),
+                *wb(layer.mha.wq), *wb(layer.mha.dense),
+                *wb(layer.mha2.wq), *wb(layer.mha2.wk),
+                *wb(layer.mha2.wv), *wb(layer.mha2.dense),
+                *ffn_wb(layer.ffn, "fc1"), *ffn_wb(layer.ffn, "fc2"),
+                g1.astype(bf), be1.astype(bf),
+                g2.astype(bf), be2.astype(bf),
+                g3.astype(bf), be3.astype(bf),
+            ]
+
+        # Encoder down to T/2 (identical to encode_unet).
+        x = self.input_dense(strokes)
+        h1 = self.enc1(x, None, True, coeffs=cf[0])
+        h2 = avg_pool_1d(h1)
+        h2 = self.enc2(h2, None, True, coeffs=cf[1])
+        h2 = self.enc3.attend(h2, kvs[0], None, text_mask, True, af[0])
+
+        # Fused region: pooled h2 -> dec3 output, one Pallas program.
+        x4 = avg_pool_1d(h2)
+        t4 = x4.shape[1]
+        d = self.c2 * 2
+        neg = (text_mask * -1e9).astype(bf)[:, 0]  # [B, 1, L]
+        pe4 = pos_embeddings(t4, self.c3, 2.0, bf)[0]
+        pe8 = pos_embeddings(t4 // 2, d, 1.0, bf)[0]
+        aw, ab = wb(self.att_dense)
+        sk3w, sk3b = wb(self.skip_conv3)
+
+        att_ops = []
+        for i, layer in enumerate(self.att_layers):
+            att_ops += layer_ops(layer, kvs[2 + i], af[2 + i])
+
+        b = x4.shape[0]
+        rows = next(r for r in (8, 4, 2, 1) if b % r == 0)
+        import jax as _jax
+
+        x = fused_unet_t4(
+            x4.astype(bf), neg, pe4, pe8, aw, ab, sk3w, sk3b,
+            tuple(conv_ops(self.enc4, cf[2])),
+            tuple(layer_ops(self.enc5, kvs[1], af[1])),
+            tuple(conv_ops(self.dec3, cf[3])),
+            tuple(att_ops),
+            num_layers=self.num_layers,
+            att_heads=self.att_layers[0].num_heads,
+            enc5_heads=self.enc5.num_heads,
+            rows=rows,
+            interpret=_jax.default_backend() != "tpu",
+        )
+
+        # Decoder back up (identical to decode_unet's tail).
+        x = upsample_nearest_1d(x) + self.skip_conv2(h2)
+        x = self.dec2(x, None, True, coeffs=cf[4])
+        x = upsample_nearest_1d(x) + self.skip_conv1(h1)
+        x = self.dec1(x, None, True, coeffs=cf[5])
+        eps_pred = self.output_dense(x)
+        pen = nn.sigmoid(self.pen_lifts_dense(x))[..., 0]
+        return eps_pred.astype(jnp.float32), pen.astype(jnp.float32)
+
     def denoise(
         self,
         strokes: jnp.ndarray,
@@ -291,6 +404,8 @@ class DiffusionModel(nn.Module):
         kvs=None,
         films=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self._can_fuse_t4(kvs, films, deterministic):
+            return self._denoise_fused_t4(strokes, text_mask, kvs, films)
         feats = self.encode_unet(
             strokes, cond, sigma_emb, text_mask, deterministic, kvs, films
         )

@@ -95,6 +95,43 @@ def test_fused_bottleneck_row_packed(ctx):
     assert np.median(np.abs(a - b)) < 5e-3
 
 
+@pytest.mark.parametrize("batch", [3, 4])  # rows=1 and rows=4 packing
+def test_fused_unet_t4_matches_denoise(ctx, batch):
+    """The extended T/4 megakernel path == plain denoise (bf16 tolerance)."""
+    model, params, _, _, _, _ = ctx
+    text = jax.random.randint(jax.random.PRNGKey(21), (batch, 10), 1, 73)
+    style = jax.random.normal(jax.random.PRNGKey(22), (batch, 14, 1280))
+    strokes = jax.random.normal(jax.random.PRNGKey(23), (batch, 48, 2))
+    sigma = jnp.full((1, 1), 0.6)
+    sig1 = model.apply({"params": params}, sigma, method=DiffusionModel.embed_sigma)
+    cond = model.apply(
+        {"params": params}, text, style, sig1, method=DiffusionModel.encode_cond
+    )
+    kvs = model.apply(
+        {"params": params}, cond, sig1, method=DiffusionModel.precompute_cross_kv
+    )
+    films = model.apply(
+        {"params": params}, sig1, method=DiffusionModel.precompute_film
+    )
+    mask = create_padding_mask(text)
+
+    eps_a, pen_a = model.apply(
+        {"params": params}, strokes, None, None, mask,
+        method=DiffusionModel.denoise, kvs=kvs, films=films,
+    )
+    eps_b, pen_b = model.apply(
+        {"params": params}, strokes, mask, kvs, films,
+        method=DiffusionModel._denoise_fused_t4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(eps_a), np.asarray(eps_b), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(pen_a), np.asarray(pen_b), rtol=0.05, atol=0.05
+    )
+    assert np.median(np.abs(np.asarray(eps_a) - np.asarray(eps_b))) < 5e-3
+
+
 def test_fused_gate_requires_sampler_context(ctx):
     model, params, x, kvs, films, mask = ctx
     gate = model.apply(
