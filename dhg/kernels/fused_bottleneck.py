@@ -170,6 +170,62 @@ def _make_kernel(num_layers, num_heads, rows, t8):
     return kernel
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "rows", "interpret")
+)
+def fused_encoder_layer(
+    x,  # [B, T, D] bf16
+    pe,  # [T, D] stroke PE for this pyramid level
+    neg_mask,  # [B, 1, L]
+    layer_ops,  # _PER_LAYER operands (kh/vh [B, H, L, hd])
+    num_heads: int,
+    rows: int = 8,
+    interpret: bool = False,
+):
+    """One EncoderLayer.attend as a single Pallas program (row-packed).
+
+    Used for enc3 (T/2, d=c2, 3 heads) and enc5 (T/4, d=c3, 4 heads) on
+    the sampler path — the T/4 megakernel experiment showed attention
+    stacks are the profitable fusion unit while convs are not, so each
+    EncoderLayer gets its own kernel and the ConvBlocks stay in XLA.
+    """
+    b, t, d = x.shape
+    l = neg_mask.shape[-1]
+    hd = layer_ops[0].shape[-1]
+    assert b % rows == 0, (b, rows)
+
+    pe_t = jnp.tile(pe, (rows, 1))
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    per_x = pl.BlockSpec((rows, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    per_kv = pl.BlockSpec(
+        (rows, num_heads, l, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    per_neg = pl.BlockSpec((rows, 1, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        x_ref, pe_ref, neg_ref = refs[:3]
+        out_ref = refs[-1]
+        vals = [r[:] for r in refs[3:3 + _PER_LAYER]]
+        out = _encoder_layer(
+            x_ref[...].reshape(rows * t, d), pe_ref[:], neg_ref[...],
+            num_heads, rows, t, tuple(vals),
+        )
+        out_ref[...] = out.reshape(rows, t, d)
+
+    in_specs = [per_x, full, per_neg, per_kv, per_kv]
+    in_specs += [full] * (_PER_LAYER - 2)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        grid=(b // rows,),
+        in_specs=in_specs,
+        out_specs=per_x,
+        interpret=interpret,
+    )(x, pe_t, neg_mask, *layer_ops)
+
+
 # ---------------------------------------------------------------------------
 # Extended T/4 megakernel: enc4 ConvBlock + enc5 EncoderLayer + pool +
 # att_dense + att_layers + upsample + skip_conv3 + dec3 ConvBlock, all in

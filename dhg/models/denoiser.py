@@ -45,6 +45,33 @@ from dhg.ops.basic import FFN, create_padding_mask, dense
 from dhg.ops.conv import ConvBlock, avg_pool_1d, conv1d_same, upsample_nearest_1d
 
 
+def _wb(mod, bf):
+    p = mod.variables["params"]
+    return p["kernel"].astype(bf), p["bias"].astype(bf)
+
+
+def _ffn_wb(ffn, name, bf):
+    p = ffn.variables["params"][name]
+    return p["kernel"].astype(bf), p["bias"].astype(bf)
+
+
+def _encoder_layer_ops(layer, kv, film3, bf):
+    """Flat operand list for one EncoderLayer in the Pallas kernels
+    (dhg/kernels/fused_bottleneck.py _PER_LAYER order)."""
+    kh, vh = kv
+    (g1, be1), (g2, be2), (g3, be3) = film3
+    return [
+        kh.astype(bf), vh.astype(bf),
+        *_wb(layer.mha.wq, bf), *_wb(layer.mha.dense, bf),
+        *_wb(layer.mha2.wq, bf), *_wb(layer.mha2.wk, bf),
+        *_wb(layer.mha2.wv, bf), *_wb(layer.mha2.dense, bf),
+        *_ffn_wb(layer.ffn, "fc1", bf), *_ffn_wb(layer.ffn, "fc2", bf),
+        g1.astype(bf), be1.astype(bf),
+        g2.astype(bf), be2.astype(bf),
+        g3.astype(bf), be3.astype(bf),
+    ]
+
+
 class DiffusionModel(nn.Module):
     num_layers: int = 2
     c1: int = 128
@@ -163,17 +190,54 @@ class DiffusionModel(nn.Module):
         """
         cf = films["conv"] if films is not None else (None,) * 6
         af = films["attn"] if films is not None else (None,) * (2 + self.num_layers)
+        # Single-layer attention kernels for enc3/enc5 win at small batch
+        # (+3% at 96) but lose at large (-5% at 256): fewer grid cells no
+        # longer offset XLA's better inter-op overlap once the device is
+        # saturated. Crossover measured between 96 and 256 (PERFORMANCE.md).
+        # Below batch 8 the row packing degenerates and the two extra
+        # remote Pallas compiles dominate any gain, so they stay unfused
+        # on the latency path too.
+        fuse_enc = (
+            self._can_fuse_bottleneck(kvs, films, deterministic)
+            and 8 <= strokes.shape[0] <= 128
+        )
         x = self.input_dense(strokes)
         h1 = self.enc1(x, sigma_emb, deterministic, coeffs=cf[0])
         h2 = avg_pool_1d(h1)
         h2 = self.enc2(h2, sigma_emb, deterministic, coeffs=cf[1])
         kv3 = kvs[0] if kvs is not None else self.enc3.text_kv(cond, sigma_emb)
-        h2 = self.enc3.attend(h2, kv3, sigma_emb, text_mask, deterministic, af[0])
+        if fuse_enc:
+            h2 = self._fused_layer(self.enc3, h2, kv3, af[0], text_mask, 4.0)
+        else:
+            h2 = self.enc3.attend(h2, kv3, sigma_emb, text_mask, deterministic, af[0])
         h3 = avg_pool_1d(h2)
         h3 = self.enc4(h3, sigma_emb, deterministic, coeffs=cf[2])
         kv5 = kvs[1] if kvs is not None else self.enc5.text_kv(cond, sigma_emb)
-        h3 = self.enc5.attend(h3, kv5, sigma_emb, text_mask, deterministic, af[1])
+        if fuse_enc:
+            h3 = self._fused_layer(self.enc5, h3, kv5, af[1], text_mask, 2.0)
+        else:
+            h3 = self.enc5.attend(h3, kv5, sigma_emb, text_mask, deterministic, af[1])
         return h1, h2, h3
+
+    def _fused_layer(self, layer, x, kv, film3, text_mask, pos_factor):
+        """Route one EncoderLayer.attend through the single-layer Pallas
+        kernel (sampler path; gated by _can_fuse_bottleneck)."""
+        from dhg.kernels.fused_bottleneck import fused_encoder_layer
+        from dhg.ops.attention import pos_embeddings
+
+        bf = jnp.bfloat16
+        pe = pos_embeddings(x.shape[1], layer.d_out, pos_factor, bf)[0]
+        neg = (text_mask * -1e9).astype(bf)[:, 0]
+        b = x.shape[0]
+        rows = next(r for r in (8, 4, 2, 1) if b % r == 0)
+        import jax as _jax
+
+        return fused_encoder_layer(
+            x.astype(bf), pe, neg,
+            tuple(_encoder_layer_ops(layer, kv, film3, bf)),
+            num_heads=layer.num_heads, rows=rows,
+            interpret=_jax.default_backend() != "tpu",
+        )
 
     def decode_unet(
         self,
@@ -242,33 +306,13 @@ class DiffusionModel(nn.Module):
         bf = jnp.bfloat16
         d = self.c2 * 2
 
-        def wb(mod):
-            p = mod.variables["params"]
-            return p["kernel"].astype(bf), p["bias"].astype(bf)
-
-        def ffn_wb(ffn, name):
-            p = ffn.variables["params"][name]
-            return p["kernel"].astype(bf), p["bias"].astype(bf)
-
-        aw, ab = wb(self.att_dense)
+        aw, ab = _wb(self.att_dense, bf)
         pe = pos_embeddings(x.shape[1], d, 1.0, bf)[0]
         neg = (text_mask * -1e9).astype(bf)[:, 0]  # [B, 1, L]
 
         ops = []
         for i, layer in enumerate(self.att_layers):
-            kh, vh = kvs[2 + i]  # [B, H, L, hd]
-            (g1, be1), (g2, be2), (g3, be3) = films["attn"][2 + i]
-            ops += [
-                kh.astype(bf),
-                vh.astype(bf),
-                *wb(layer.mha.wq), *wb(layer.mha.dense),
-                *wb(layer.mha2.wq), *wb(layer.mha2.wk),
-                *wb(layer.mha2.wv), *wb(layer.mha2.dense),
-                *ffn_wb(layer.ffn, "fc1"), *ffn_wb(layer.ffn, "fc2"),
-                g1.astype(bf), be1.astype(bf),
-                g2.astype(bf), be2.astype(bf),
-                g3.astype(bf), be3.astype(bf),
-            ]
+            ops += _encoder_layer_ops(layer, kvs[2 + i], films["attn"][2 + i], bf)
 
         heads = self.att_layers[0].num_heads
         import jax as _jax
@@ -315,37 +359,18 @@ class DiffusionModel(nn.Module):
         cf = films["conv"]
         af = films["attn"]
 
-        def wb(mod):
-            p = mod.variables["params"]
-            return p["kernel"].astype(bf), p["bias"].astype(bf)
-
-        def ffn_wb(ffn, name):
-            p = ffn.variables["params"][name]
-            return p["kernel"].astype(bf), p["bias"].astype(bf)
-
         def conv_ops(block, film3):
             (g1, be1), (g2, be2), (g3, be3) = film3
             return [
-                *wb(block.conv_skip), *wb(block.conv1), *wb(block.conv2),
-                *wb(block.fc),
+                *_wb(block.conv_skip, bf), *_wb(block.conv1, bf),
+                *_wb(block.conv2, bf), *_wb(block.fc, bf),
                 g1.astype(bf), be1.astype(bf),
                 g2.astype(bf), be2.astype(bf),
                 g3.astype(bf), be3.astype(bf),
             ]
 
         def layer_ops(layer, kv, film3):
-            kh, vh = kv
-            (g1, be1), (g2, be2), (g3, be3) = film3
-            return [
-                kh.astype(bf), vh.astype(bf),
-                *wb(layer.mha.wq), *wb(layer.mha.dense),
-                *wb(layer.mha2.wq), *wb(layer.mha2.wk),
-                *wb(layer.mha2.wv), *wb(layer.mha2.dense),
-                *ffn_wb(layer.ffn, "fc1"), *ffn_wb(layer.ffn, "fc2"),
-                g1.astype(bf), be1.astype(bf),
-                g2.astype(bf), be2.astype(bf),
-                g3.astype(bf), be3.astype(bf),
-            ]
+            return _encoder_layer_ops(layer, kv, film3, bf)
 
         # Encoder down to T/2 (identical to encode_unet).
         x = self.input_dense(strokes)
@@ -361,8 +386,8 @@ class DiffusionModel(nn.Module):
         neg = (text_mask * -1e9).astype(bf)[:, 0]  # [B, 1, L]
         pe4 = pos_embeddings(t4, self.c3, 2.0, bf)[0]
         pe8 = pos_embeddings(t4 // 2, d, 1.0, bf)[0]
-        aw, ab = wb(self.att_dense)
-        sk3w, sk3b = wb(self.skip_conv3)
+        aw, ab = _wb(self.att_dense, bf)
+        sk3w, sk3b = _wb(self.skip_conv3, bf)
 
         att_ops = []
         for i, layer in enumerate(self.att_layers):

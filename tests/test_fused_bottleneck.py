@@ -132,6 +132,44 @@ def test_fused_unet_t4_matches_denoise(ctx, batch):
     assert np.median(np.abs(np.asarray(eps_a) - np.asarray(eps_b))) < 5e-3
 
 
+@pytest.mark.parametrize("which,pos_factor", [("enc3", 4.0), ("enc5", 2.0)])
+def test_fused_single_encoder_layer(ctx, which, pos_factor):
+    """The single-layer kernel == EncoderLayer.attend for enc3/enc5."""
+    model, params, _, _, _, _ = ctx
+    batch = 8
+    text = jax.random.randint(jax.random.PRNGKey(31), (batch, 10), 1, 73)
+    style = jax.random.normal(jax.random.PRNGKey(32), (batch, 14, 1280))
+    sigma = jnp.full((1, 1), 0.4)
+    sig1 = model.apply({"params": params}, sigma, method=DiffusionModel.embed_sigma)
+    cond = model.apply(
+        {"params": params}, text, style, sig1, method=DiffusionModel.encode_cond
+    )
+    kvs = model.apply(
+        {"params": params}, cond, sig1, method=DiffusionModel.precompute_cross_kv
+    )
+    films = model.apply(
+        {"params": params}, sig1, method=DiffusionModel.precompute_film
+    )
+    mask = create_padding_mask(text)
+    idx = 0 if which == "enc3" else 1
+    d = 96 if which == "enc3" else 128
+    t = 24 if which == "enc3" else 12
+    x = jax.random.normal(jax.random.PRNGKey(33), (batch, t, d), jnp.bfloat16)
+
+    def run_ref(m, xb):
+        layer = getattr(m, which)
+        return layer.attend(xb, kvs[idx], None, mask, True, films["attn"][idx])
+
+    def run_fused(m, xb):
+        layer = getattr(m, which)
+        return m._fused_layer(layer, xb, kvs[idx], films["attn"][idx], mask, pos_factor)
+
+    a = np.asarray(model.apply({"params": params}, x, method=run_ref), np.float32)
+    b = np.asarray(model.apply({"params": params}, x, method=run_fused), np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    assert np.median(np.abs(a - b)) < 5e-3
+
+
 def test_fused_gate_requires_sampler_context(ctx):
     model, params, x, kvs, films, mask = ctx
     gate = model.apply(
