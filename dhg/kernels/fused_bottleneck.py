@@ -15,8 +15,11 @@ text side (DiffusionModel.precompute_cross_kv), FiLM gamma/beta from
 precompute_film — so the kernel needs zero sigma-side compute.
 
 Enabled by DHG_FUSED_BOTTLENECK=1 (sampler path only: requires kvs+films
-precomputed and bf16 compute dtype). Gradients flow through the jnp
-reference via custom_vjp, same pattern as fused_conv_block.
+precomputed and bf16 compute dtype). FORWARD-ONLY: unlike fused_conv_block
+these kernels define no custom_vjp — differentiating through them would
+error. That is by design: the _can_fuse_* gates require precomputed
+kvs/films, which only the (never-differentiated) sampler path supplies;
+training always takes the jnp path.
 """
 
 from __future__ import annotations

@@ -207,26 +207,26 @@ class DiffusionModel(nn.Module):
         h2 = self.enc2(h2, sigma_emb, deterministic, coeffs=cf[1])
         kv3 = kvs[0] if kvs is not None else self.enc3.text_kv(cond, sigma_emb)
         if fuse_enc:
-            h2 = self._fused_layer(self.enc3, h2, kv3, af[0], text_mask, 4.0)
+            h2 = self._fused_layer(self.enc3, h2, kv3, af[0], text_mask)
         else:
             h2 = self.enc3.attend(h2, kv3, sigma_emb, text_mask, deterministic, af[0])
         h3 = avg_pool_1d(h2)
         h3 = self.enc4(h3, sigma_emb, deterministic, coeffs=cf[2])
         kv5 = kvs[1] if kvs is not None else self.enc5.text_kv(cond, sigma_emb)
         if fuse_enc:
-            h3 = self._fused_layer(self.enc5, h3, kv5, af[1], text_mask, 2.0)
+            h3 = self._fused_layer(self.enc5, h3, kv5, af[1], text_mask)
         else:
             h3 = self.enc5.attend(h3, kv5, sigma_emb, text_mask, deterministic, af[1])
         return h1, h2, h3
 
-    def _fused_layer(self, layer, x, kv, film3, text_mask, pos_factor):
+    def _fused_layer(self, layer, x, kv, film3, text_mask):
         """Route one EncoderLayer.attend through the single-layer Pallas
         kernel (sampler path; gated by _can_fuse_bottleneck)."""
         from dhg.kernels.fused_bottleneck import fused_encoder_layer
         from dhg.ops.attention import pos_embeddings
 
         bf = jnp.bfloat16
-        pe = pos_embeddings(x.shape[1], layer.d_out, pos_factor, bf)[0]
+        pe = pos_embeddings(x.shape[1], layer.d_out, layer.pos_factor, bf)[0]
         neg = (text_mask * -1e9).astype(bf)[:, 0]
         b = x.shape[0]
         rows = next(r for r in (8, 4, 2, 1) if b % r == 0)
@@ -290,11 +290,12 @@ class DiffusionModel(nn.Module):
             return False
         return (
             not self.is_initializing()
+            and self.num_layers > 0
             and kvs is not None
             and films is not None
             and self.dtype == jnp.bfloat16
             and (self.drop_rate == 0.0 or deterministic)
-            and films["attn"][2][0][0].shape[0] == 1  # B=1 gamma broadcast
+            and films["attn"][0][0][0].shape[0] == 1  # B=1 gamma broadcast
         )
 
     def _fused_bottleneck(self, x, kvs, films, text_mask):
@@ -339,11 +340,12 @@ class DiffusionModel(nn.Module):
             return False
         return (
             not self.is_initializing()
+            and self.num_layers > 0
             and kvs is not None
             and films is not None
             and self.dtype == jnp.bfloat16
             and (self.drop_rate == 0.0 or deterministic)
-            and films["attn"][2][0][0].shape[0] == 1
+            and films["attn"][0][0][0].shape[0] == 1
         )
 
     def _denoise_fused_t4(
