@@ -43,10 +43,10 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
     return denoise
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 9, 11))
 def _sample_jit(
     model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode,
-    guidance_scale=None, encoder_reuse=None, sample_keys=None,
+    guidance_scale=None, encoder_reuse=None, sample_keys=None, hoist="full",
 ):
     """One XLA program for the whole sampler, with conditioning hoisted.
 
@@ -55,11 +55,28 @@ def _sample_jit(
     before the scan; the scan body runs only the U-Net. Numerically
     identical to the reference's per-step recompute (inference.py:84-94).
 
-    guidance_scale (static, optional): classifier-free-style guidance, a
-    capability superset of the reference (BASELINE config 5 sweeps it):
+    guidance_scale (optional): classifier-free-style guidance, a capability
+    superset of the reference (BASELINE config 5 sweeps it):
     eps = eps_uncond + g * (eps_cond - eps_uncond), with the unconditional
-    branch fed all-padding text and zero style. g == None or 1.0 skips the
-    second branch entirely.
+    branch fed all-padding text and zero style. None skips the second
+    branch entirely. The scale is a TRACED scalar (not static), so every
+    guided request shares ONE compiled program per (batch, seq_len, mode)
+    regardless of its scale — callers normalize g == 1.0 to None
+    (generate()).
+
+    hoist (static, "full" | "compact"): what is precomputed for all 60
+    steps outside the scan.
+      * "full" — cross-attention K/V for every layer and step live in HBM
+        (~2432 bf16 values per text token per step at the canonical plan:
+        2x(192+256+384+384)); fastest, but the context scales with batch
+        and tips the 16 GB v5e HBM at batch 512 (round-2 measurement).
+      * "compact" — only the conditioning memory cond_all (384/token/step,
+        ~6.3x smaller) is hoisted, computed sequentially per step
+        (lax.map) to bound TextStyleEncoder temporaries; the scan body
+        recomputes each step's K/V from its cond slice (a handful of
+        [L=50, d] matmuls — tiny vs the U-Net). Same ops as the
+        reference's per-step recompute, so parity holds; lets batch 512+
+        fit on one chip. generate() auto-selects by hoisted-context size.
     """
     from dhg.core.schedule import get_alpha_set, get_beta_set
     from dhg.models.denoiser import DiffusionModel
@@ -85,47 +102,60 @@ def _sample_jit(
         lambda s: model.apply({"params": params}, s, method=DiffusionModel.embed_sigma)
     )(sig_b)  # [n, 1, 32]
 
+    compact = hoist == "compact"
+
     def encode_all(t, s):
         # sigma-independent half once; only the sigma tail runs per step.
+        # Compact mode runs the 60 tails sequentially (lax.map): the vmapped
+        # pass materializes every step's TextStyleEncoder attention
+        # temporaries ([B, 8, L, 70]) at once, which alone is multi-GB at
+        # batch 512.
         pre = model.apply(
             {"params": params}, t, s, method=DiffusionModel.encode_cond_pre
         )
-        return jax.vmap(
-            lambda se: model.apply(
+
+        def tail(se):
+            return model.apply(
                 {"params": params}, pre, se, method=DiffusionModel.encode_cond_tail
             )
-        )(sigma_embs)
+
+        return jax.lax.map(tail, sigma_embs) if compact else jax.vmap(tail)(sigma_embs)
 
     cond_all = encode_all(text, style)
     text_mask = create_padding_mask(text)
 
-    # Hoist EVERYTHING x_t-independent out of the scan in one batched pass
-    # over all 60 steps: the full text side of every cross-attention layer
-    # (text projection, LN, affine, PE, K/V head projections) and all 23
-    # FiLM coefficient Denses. The scan body then runs ONLY x_t-dependent
-    # work — numerically identical (denoise(kvs=..., films=...) is the same
-    # ops in the same order, just scheduled outside the loop).
-    def kv_all_of(cond_seq):
-        return jax.vmap(
-            lambda se, c: model.apply(
-                {"params": params}, c, se, method=DiffusionModel.precompute_cross_kv
-            )
-        )(sigma_embs, cond_seq)
+    # Hoist the x_t-independent work out of the scan. Full mode additionally
+    # precomputes the text side of every cross-attention layer (text
+    # projection, LN, affine, PE, K/V head projections) for all 60 steps in
+    # one batched pass; the scan body then runs ONLY x_t-dependent work —
+    # numerically identical (denoise(kvs=..., films=...) is the same ops in
+    # the same order, just scheduled outside the loop). Compact mode keeps
+    # only cond_all and rebuilds each step's K/V inside the scan (see the
+    # docstring's hoist note).
+    def kv_of(cond_t, se_t):
+        return model.apply(
+            {"params": params}, cond_t, se_t, method=DiffusionModel.precompute_cross_kv
+        )
 
-    kv_all = kv_all_of(cond_all)
+    def kv_all_of(cond_seq):
+        return jax.vmap(kv_of, in_axes=(0, 0))(cond_seq, sigma_embs)
+
+    kv_all = None if compact else kv_all_of(cond_all)
     film_all = jax.vmap(
         lambda se: model.apply(
             {"params": params}, se, method=DiffusionModel.precompute_film
         )
     )(sigma_embs)
 
-    guided = guidance_scale is not None and guidance_scale != 1.0
+    guided = guidance_scale is not None
 
     if encoder_reuse and encoder_reuse > 1:
         # Experimental encoder-feature caching (see
         # dhg.core.sampling.diffusion_sample_encoder_reuse). Exclusive with
-        # guidance for now.
+        # guidance for now; always runs on the full hoist.
         assert not guided, "encoder_reuse and guidance_scale are mutually exclusive"
+        if kv_all is None:
+            kv_all = kv_all_of(cond_all)
         from dhg.core.sampling import diffusion_sample_encoder_reuse
 
         def enc(x, ctx):
@@ -159,24 +189,42 @@ def _sample_jit(
         null_text = jnp.zeros_like(text)
         # All-padding text would mask every key; leave one EOS token open.
         null_text = null_text.at[:, 0].set(1)
-        null_kv_all = kv_all_of(encode_all(null_text, jnp.zeros_like(style)))
+        null_cond_all = encode_all(null_text, jnp.zeros_like(style))
+        null_kv_all = None if compact else kv_all_of(null_cond_all)
         null_mask = create_padding_mask(null_text)
 
-    def denoise(x, sigma, ctx):
-        kvs, films, null_kvs = ctx
-        eps_c, pen = model.apply(
-            {"params": params}, x, None, None, text_mask,
+    def unet(x, kvs, films, mask):
+        return model.apply(
+            {"params": params}, x, None, None, mask,
             method=DiffusionModel.denoise, kvs=kvs, films=films,
         )
-        if not guided:
-            return eps_c, pen
-        eps_u, _ = model.apply(
-            {"params": params}, x, None, None, null_mask,
-            method=DiffusionModel.denoise, kvs=null_kvs, films=films,
-        )
-        return eps_u + guidance_scale * (eps_c - eps_u), pen
 
-    step_ctx = (kv_all, film_all, null_kv_all if guided else kv_all)
+    if compact:
+        # ctx carries this step's conditioning memory (+ the B=1 sigma
+        # embedding); K/V are rebuilt in-scan — tiny [L, d] matmuls.
+        def denoise(x, sigma, ctx):
+            cond_t, se_t, films, null_cond_t = ctx
+            eps_c, pen = unet(x, kv_of(cond_t, se_t), films, text_mask)
+            if not guided:
+                return eps_c, pen
+            eps_u, _ = unet(x, kv_of(null_cond_t, se_t), films, null_mask)
+            return eps_u + guidance_scale * (eps_c - eps_u), pen
+
+        step_ctx = (
+            cond_all, sigma_embs, film_all,
+            null_cond_all if guided else cond_all,
+        )
+    else:
+
+        def denoise(x, sigma, ctx):
+            kvs, films, null_kvs = ctx
+            eps_c, pen = unet(x, kvs, films, text_mask)
+            if not guided:
+                return eps_c, pen
+            eps_u, _ = unet(x, null_kvs, films, null_mask)
+            return eps_u + guidance_scale * (eps_c - eps_u), pen
+
+        step_ctx = (kv_all, film_all, null_kv_all if guided else kv_all)
     return diffusion_sample(
         denoise,
         key,
@@ -202,8 +250,15 @@ def generate(
     encoder_reuse: int | None = None,
     mesh=None,
     sample_keys: jax.Array | None = None,
+    hoist: str | None = None,
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
+
+    hoist: "full" | "compact" | None (auto). Auto picks "compact" — K/V
+    rebuilt in-scan from the hoisted conditioning memory — once the
+    full-hoist 60-step K/V context would exceed ~4 GB (it tips the 16 GB
+    v5e HBM at batch 512, round-2 measurement); "full" otherwise. See
+    _sample_jit's docstring for the trade-off.
 
     mesh: optional jax.sharding.Mesh — the batch is sharded over its 'data'
     axis (params replicated / tp-sharded per dhg.parallel.sharding), so a
@@ -214,6 +269,14 @@ def generate(
     its own independent noise stream, so a request's output is identical
     whether it runs alone or co-batched (continuous-batching contract).
     """
+    if guidance_scale is not None and float(guidance_scale) == 1.0:
+        guidance_scale = None  # g=1 is exactly the unguided sampler
+    if hoist is None:
+        # Full-hoist K/V bytes: n_steps * B * L * (K+V) * sum(layer widths).
+        d_kv = model.c2 + model.c3 + model.num_layers * 2 * model.c2
+        itemsize = 2 if model.dtype == jnp.bfloat16 else 4
+        kv_bytes = 60 * text.shape[0] * text.shape[1] * 2 * d_kv * itemsize
+        hoist = "compact" if kv_bytes > 4e9 else "full"
     if seq_len is None:
         # Longest prompt in the batch sets the bucket.
         lengths = np.asarray((text != 0).sum(axis=1))
@@ -238,6 +301,7 @@ def generate(
         guidance_scale,
         encoder_reuse,
         sample_keys,
+        hoist,
     )
 
 

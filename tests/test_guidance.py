@@ -33,6 +33,21 @@ def test_guidance_none_equals_one(small):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_guidance_scale_is_traced_one_program(small):
+    """The guidance scale is a TRACED argument: two different scales must
+    share one compiled sampler program (round-3 serving-warmup design)."""
+    from dhg.inference import _sample_jit
+
+    model, params, text, style = small
+    k = jax.random.PRNGKey(9)
+    a = generate(model, params, text, style, k, seq_len=24, guidance_scale=2.0)
+    n1 = _sample_jit._cache_size()
+    b = generate(model, params, text, style, k, seq_len=24, guidance_scale=3.5)
+    n2 = _sample_jit._cache_size()
+    assert n2 == n1, "a new guidance scale must not trigger a recompile"
+    assert not np.allclose(np.asarray(a[..., :2]), np.asarray(b[..., :2]))
+
+
 def test_guidance_changes_output(small):
     model, params, text, style = small
     k = jax.random.PRNGKey(4)

@@ -139,6 +139,42 @@ def test_encode_cond_pre_tail_split_is_exact(small_model):
     )
 
 
+def test_compact_hoist_matches_full(small_model):
+    """hoist="compact" (K/V rebuilt in-scan from cond_all) must match
+    hoist="full" (round-3 batch-512 HBM fix). Same ops, different
+    scheduling: f32-tight but not bitwise (XLA re-tiles the per-step
+    K/V matmuls inside the scan)."""
+    from dhg.inference import generate
+
+    model, params, strokes, text, sigma, style = small_model
+    k = jax.random.PRNGKey(11)
+    a = generate(model, params, text, style, k, seq_len=24, hoist="full")
+    b = generate(model, params, text, style, k, seq_len=24, hoist="compact")
+    # Measured drift: max abs 1.5e-5, MSE 1.6e-11 (f32 CPU) — re-tiled
+    # matmuls over a 60-step trajectory, far inside the 1e-3 parity bar.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5)
+
+    # Guided path too (null branch K/V also rebuilt in-scan).
+    ag = generate(
+        model, params, text, style, k, seq_len=24, hoist="full", guidance_scale=2.0
+    )
+    bg = generate(
+        model, params, text, style, k, seq_len=24, hoist="compact", guidance_scale=2.0
+    )
+    np.testing.assert_allclose(np.asarray(ag), np.asarray(bg), rtol=1e-4, atol=5e-5)
+
+
+def test_hoist_auto_selection():
+    """generate() auto-picks compact only when the full-hoist K/V context
+    would be multi-GB (canonical model: batch 512 yes, batch 256 no)."""
+    model = DiffusionModel(num_layers=2, dtype=jnp.bfloat16)  # canonical plan
+    d_kv = model.c2 + model.c3 + model.num_layers * 2 * model.c2
+    assert d_kv == 1216
+    bytes_256 = 60 * 256 * 50 * 2 * d_kv * 2
+    bytes_512 = 60 * 512 * 50 * 2 * d_kv * 2
+    assert bytes_256 < 4e9 < bytes_512  # the generate() threshold
+
+
 def test_full_call_unchanged_by_refactor(small_model):
     """__call__ == embed/encode/denoise decomposition (regression guard)."""
     model, params, strokes, text, sigma, style = small_model
