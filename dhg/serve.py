@@ -20,7 +20,9 @@ dhg.core.sampling.per_sample_noise_streams), so its strokes are the same
 whether it runs alone or co-batched — identical noise, float32-tolerance
 numerics (XLA re-tiles reductions per batch shape, ~1e-5 drift over the
 60-step scan; same-seed replays at the same batch size are bit-identical).
-Batch sizes are padded to powers of two to bound the compile cache.
+Batch sizes are padded to powers of two to bound the compile cache; prompts
+longer than every warmed bucket clamp to the largest warmed bucket (the
+model is length-agnostic) so live requests never compile.
 
 Capability superset of the reference (which has no serving path at all).
 """
@@ -112,12 +114,21 @@ class GenerationService:
     # -- bucketing ----------------------------------------------------------
 
     def bucket_for(self, n_tokens: int) -> int:
-        """Smallest warmed bucket covering the prompt, else the exact length."""
+        """Smallest warmed bucket covering the prompt.
+
+        A prompt longer than every warmed bucket CLAMPS to the largest
+        warmed one instead of falling through to its exact length — the
+        model is length-agnostic (reference tests/test_model.py exercises
+        T=400 vs config 480), so it still generates; the output is simply
+        capped at the bucket length. This keeps warmup()'s no-live-compile
+        guarantee true: an un-warmed exact length would trigger a 1-6 min
+        remote compile mid-request, head-of-line-blocking the batcher.
+        Falls back to the exact length only when nothing is warmed yet."""
         exact = infer_seq_len(n_tokens)
         for b in sorted(self.buckets):
             if b >= exact:
                 return b
-        return exact
+        return max(self.buckets) if self.buckets else exact
 
     @staticmethod
     def _pad_batch_size(n: int) -> int:
@@ -126,14 +137,28 @@ class GenerationService:
                 return b
         return n
 
-    def warmup(self, buckets: list[int]) -> None:
-        """Precompile every (bucket, padded batch size) sampler program so
-        no live request — solo or co-batched — ever pays compile latency.
-        Round-2 measurement: without the batch-size warmup, the first
-        16-concurrent burst took 41 s (two fresh compiles) vs 0.33 s warm."""
+    def warmup(self, buckets: list[int], modes: tuple[str, ...] = ("new", "standard"),
+               guided: bool = False) -> None:
+        """Precompile every (bucket, padded batch size, mode) sampler program
+        so no live request — solo or co-batched — pays compile latency for a
+        warmed variant. Round-2 measurement: without the batch-size warmup,
+        the first 16-concurrent burst took 41 s (two fresh compiles) vs
+        0.33 s warm.
+
+        Coverage: both diffusion modes are warmed by default. Guided
+        requests share ONE program per (bucket, batch, mode) regardless of
+        guidance_scale (the scale is traced, not static — dhg.inference.
+        _sample_jit), so guided=True adds exactly one extra variant per
+        combination; it defaults off since the guided program roughly
+        doubles compile count. A request hitting an un-warmed variant pays
+        a one-time compile (head-of-line for the batcher) — the program is
+        cached afterwards."""
+        scales = [None] + ([2.0] if guided else [])
         for seq_len in buckets:
-            for b in BATCH_SIZES:
-                self._run_bucket([[3, 1]] * b, list(range(b)), seq_len, "new", None)
+            for mode in modes:
+                for g in scales:
+                    for b in BATCH_SIZES:
+                        self._run_bucket([[3, 1]] * b, list(range(b)), seq_len, mode, g)
             self.buckets.append(seq_len)
 
     # -- the batched sampler call --------------------------------------------
@@ -200,8 +225,9 @@ class GenerationService:
                 group[0].mode,
                 group[0].guidance,
             )
-            self.stats["batches"] += 1
-            self.stats["largest_batch"] = max(self.stats["largest_batch"], len(group))
+            with self._cv:  # stats are read by /healthz from request threads
+                self.stats["batches"] += 1
+                self.stats["largest_batch"] = max(self.stats["largest_batch"], len(group))
             for i, p in enumerate(group):
                 p.seq_len = bucket
                 p.result = out[i, : infer_seq_len(len(p.tokens))]
@@ -210,6 +236,11 @@ class GenerationService:
             for p in group:
                 p.error = e
                 p.done.set()
+
+    def stats_snapshot(self) -> dict:
+        """Consistent stats copy — all mutations happen under self._cv."""
+        with self._cv:
+            return dict(self.stats)
 
     # -- request API ----------------------------------------------------------
 
@@ -253,7 +284,7 @@ def make_handler(service: GenerationService):
                 self._send(
                     200,
                     {"ok": True, "buckets": sorted(service.buckets),
-                     "stats": dict(service.stats)},
+                     "stats": service.stats_snapshot()},
                 )
             else:
                 self._send(404, {"error": "not found"})
@@ -291,8 +322,9 @@ def make_handler(service: GenerationService):
     return Handler
 
 
-def serve(service: GenerationService, port: int = 8008, warmup_buckets=(200, 400)):
-    service.warmup(list(warmup_buckets))
+def serve(service: GenerationService, port: int = 8008, warmup_buckets=(200, 400),
+          warmup_modes: tuple[str, ...] = ("new", "standard"), warmup_guided: bool = False):
+    service.warmup(list(warmup_buckets), modes=warmup_modes, guided=warmup_guided)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
     return httpd
 
