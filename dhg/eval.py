@@ -15,8 +15,15 @@ from dhg.core.losses import diffusion_loss
 from dhg.core.schedule import get_alpha_set
 
 
-def make_eval_fn(model, batch_size: int, n_levels: int = 6):
-    """Returns eval_step(params, batch, key) -> [3] (total, score, pen)."""
+def make_eval_fn(model, batch_size: int = 0, n_levels: int = 6):
+    """Returns eval_step(params, batch, key) -> [3] (total, score, pen).
+
+    The returned closure carries its own jit cache: build it ONCE per
+    model and reuse it across validation boundaries (Trainer caches it),
+    or every call recompiles (~15 s CPU / 1-6 min remote TPU). batch_size
+    is unused (kept for signature compat) — the jit specializes per input
+    shape, so one eval_step serves every batch size including the tail.
+    """
     alpha_set = get_alpha_set()
     # Evenly spaced schedule indices, always including the extremes.
     idx = jnp.linspace(0, alpha_set.shape[0] - 1, n_levels).astype(jnp.int32)
@@ -41,11 +48,15 @@ def make_eval_fn(model, batch_size: int, n_levels: int = 6):
     return eval_step
 
 
-def evaluate(model, params, cache, batch_size: int = 16, seed: int = 0):
-    """Mean (total, score, pen) loss over a packed cache."""
+def evaluate(model, params, cache, batch_size: int = 16, seed: int = 0, eval_step=None):
+    """Mean (total, score, pen) loss over a packed cache.
+
+    eval_step: a prebuilt make_eval_fn closure — pass it to avoid a fresh
+    jit cache (and thus a recompile) per evaluate() call."""
     import numpy as np
 
-    eval_step = make_eval_fn(model, batch_size)
+    if eval_step is None:
+        eval_step = make_eval_fn(model, batch_size)
     n = len(cache)
     key = jax.random.PRNGKey(seed)
     totals, weights = [], []
