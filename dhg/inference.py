@@ -46,7 +46,7 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
 @partial(jax.jit, static_argnums=(0, 3, 4, 7, 9, 11))
 def _sample_jit(
     model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode,
-    guidance_scale=None, encoder_reuse=None, sample_keys=None, hoist="full",
+    guidance_scale=None, encoder_reuse=None, sample_keys=None, hoist="compact",
 ):
     """One XLA program for the whole sampler, with conditioning hoisted.
 
@@ -68,15 +68,18 @@ def _sample_jit(
     steps outside the scan.
       * "full" — cross-attention K/V for every layer and step live in HBM
         (~2432 bf16 values per text token per step at the canonical plan:
-        2x(192+256+384+384)); fastest, but the context scales with batch
-        and tips the 16 GB v5e HBM at batch 512 (round-2 measurement).
-      * "compact" — only the conditioning memory cond_all (384/token/step,
-        ~6.3x smaller) is hoisted, computed sequentially per step
-        (lax.map) to bound TextStyleEncoder temporaries; the scan body
-        recomputes each step's K/V from its cond slice (a handful of
-        [L=50, d] matmuls — tiny vs the U-Net). Same ops as the
-        reference's per-step recompute, so parity holds; lets batch 512+
-        fit on one chip. generate() auto-selects by hoisted-context size.
+        2x(192+256+384+384)); the context scales with batch and tips the
+        16 GB v5e HBM at batch 512 (round-2 measurement).
+      * "compact" (DEFAULT) — only the conditioning memory cond_all
+        (384/token/step, ~6.3x smaller) is hoisted, computed sequentially
+        per step (lax.map) to bound TextStyleEncoder temporaries; the
+        scan body recomputes each step's K/V from its cond slice (a
+        handful of [L=50, d] matmuls — tiny vs the U-Net). Same ops as
+        the reference's per-step recompute, so parity holds; lets batch
+        512+ fit on one chip. Round-3 v5e sweep: compact is FASTER than
+        full at every batch (trading tiny MXU recompute for 60 steps of
+        hoisted-K/V HBM reads) — see PERFORMANCE.md "Round-3: hoist
+        sweep" — hence the default.
     """
     from dhg.core.schedule import get_alpha_set, get_beta_set
     from dhg.models.denoiser import DiffusionModel
@@ -254,11 +257,13 @@ def generate(
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
 
-    hoist: "full" | "compact" | None (auto). Auto picks "compact" — K/V
-    rebuilt in-scan from the hoisted conditioning memory — once the
-    full-hoist 60-step K/V context would exceed ~4 GB (it tips the 16 GB
-    v5e HBM at batch 512, round-2 measurement); "full" otherwise. See
-    _sample_jit's docstring for the trade-off.
+    hoist: "full" | "compact" | None (auto = "compact"). Round-3 v5e
+    measurement (PERFORMANCE.md "Round-3: hoist sweep") found compact —
+    K/V rebuilt in-scan from the hoisted conditioning memory — faster at
+    EVERY batch size (1: 13.1 vs 17.9 ms; 16: 30.8 vs 148.9; 96: +10%;
+    256: +9% chained) and the only mode that fits batch >= 512 on 16 GB
+    HBM, so auto always picks it; "full" remains opt-in for A/B runs.
+    See _sample_jit's docstring for the trade-off mechanics.
 
     mesh: optional jax.sharding.Mesh — the batch is sharded over its 'data'
     axis (params replicated / tp-sharded per dhg.parallel.sharding), so a
@@ -272,11 +277,7 @@ def generate(
     if guidance_scale is not None and float(guidance_scale) == 1.0:
         guidance_scale = None  # g=1 is exactly the unguided sampler
     if hoist is None:
-        # Full-hoist K/V bytes: n_steps * B * L * (K+V) * sum(layer widths).
-        d_kv = model.c2 + model.c3 + model.num_layers * 2 * model.c2
-        itemsize = 2 if model.dtype == jnp.bfloat16 else 4
-        kv_bytes = 60 * text.shape[0] * text.shape[1] * 2 * d_kv * itemsize
-        hoist = "compact" if kv_bytes > 4e9 else "full"
+        hoist = "compact"
     if seq_len is None:
         # Longest prompt in the batch sets the bucket.
         lengths = np.asarray((text != 0).sum(axis=1))
