@@ -80,6 +80,21 @@ class AsyncSaver:
 
 
 def _to_numpy(tree):
+    """Device->host snapshot with OVERLAPPED transfers.
+
+    Leaf-by-leaf np.asarray pays the transfer round-trip per leaf — at
+    ~300 leaves (params + Adam moments) over the remote-device tunnel that
+    measured ~45 s per checkpoint submit on the round-3 10k run, stalling
+    the train loop. Enqueueing every leaf's copy_to_host_async first, then
+    materializing, pipelines the transfers (and stays on the caller's
+    thread, so donation safety of the snapshot-on-submit design is
+    unchanged)."""
+    for x in jax.tree.leaves(tree):
+        if isinstance(x, jax.Array):
+            try:
+                x.copy_to_host_async()
+            except Exception:  # backends without async D2H: fall through
+                break
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 

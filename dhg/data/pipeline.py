@@ -35,14 +35,34 @@ class DeviceDataset:
     def size(self) -> int:
         return self.strokes.shape[0]
 
+    @property
+    def arrays(self):
+        """The packed arrays as a pytree, for passing INTO jit as arguments.
+
+        Closing over these in a jitted function embeds them as HLO literals
+        — at IAM scale (hundreds of MB, style alone is N x 14 x 1280 f32)
+        that bloats the serialized program past the remote-compile
+        service's request limit (HTTP 413, measured at max_files=4096).
+        Passing them as arguments keeps them device buffers referenced by
+        parameter id; the program stays a few MB regardless of cache size.
+        """
+        return (self.strokes, self.text, self.style)
+
     def sample_batch(self, key: jax.Array, batch_size: int):
         """Gather a random batch; call inside jit."""
-        idx = jax.random.randint(key, (batch_size,), 0, self.strokes.shape[0])
-        return (
-            jnp.take(self.strokes, idx, axis=0),
-            jnp.take(self.text, idx, axis=0),
-            jnp.take(self.style, idx, axis=0),
-        )
+        return gather_batch(self.arrays, key, batch_size)
+
+
+def gather_batch(arrays, key: jax.Array, batch_size: int):
+    """Random-index gather of a batch from packed (strokes, text, style)
+    arrays — jit-traceable on array ARGUMENTS (see DeviceDataset.arrays)."""
+    strokes, text, style = arrays
+    idx = jax.random.randint(key, (batch_size,), 0, strokes.shape[0])
+    return (
+        jnp.take(strokes, idx, axis=0),
+        jnp.take(text, idx, axis=0),
+        jnp.take(style, idx, axis=0),
+    )
 
 
 def synthetic_cache(

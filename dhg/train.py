@@ -182,8 +182,15 @@ class Trainer:
     # -- the step ------------------------------------------------------------
 
     def make_step_fn(self, data: DeviceDataset):
-        """One jitted, state-donating training step: step(state, key)."""
-        return jax.jit(self._build_step(data), donate_argnums=(0,))
+        """One jitted, state-donating training step: step(state, key).
+
+        The dataset arrays are bound as jit ARGUMENTS, not closure
+        constants — closed-over arrays serialize into the HLO and a
+        real-scale cache (IAM or max_files >= ~2k synthetic) exceeds the
+        remote-compile request limit (see DeviceDataset.arrays)."""
+        step = jax.jit(self._build_step(), donate_argnums=(0,))
+        arrays = data.arrays
+        return lambda state, key: step(state, key, arrays)
 
     def make_chunk_fn(self, data: DeviceDataset):
         """K steps per device program: chunk(state, root_key, counts).
@@ -200,27 +207,33 @@ class Trainer:
         distinct K (the Trainer picks chunk ends at log/val/save
         boundaries, so the set of K's is small and stable).
         """
-        step = self._build_step(data)
+        step = self._build_step()
 
-        def chunk(state: TrainState, root_key: jax.Array, counts: jax.Array):
+        def chunk(state: TrainState, root_key: jax.Array, counts: jax.Array, arrays):
             def body(s, c):
-                return step(s, jax.random.fold_in(root_key, c))
+                return step(s, jax.random.fold_in(root_key, c), arrays)
 
             return jax.lax.scan(body, state, counts)
 
-        return jax.jit(chunk, donate_argnums=(0,))
+        jitted = jax.jit(chunk, donate_argnums=(0,))
+        arrays = data.arrays
+        return lambda state, root_key, counts: jitted(state, root_key, counts, arrays)
 
-    def _build_step(self, data: DeviceDataset):
+    def _build_step(self):
+        """step(state, key, arrays) — dataset arrays arrive as an argument
+        pytree (see DeviceDataset.arrays for why they must not be closed
+        over); make_step_fn/make_chunk_fn bind them at the call layer."""
         model, tx, alpha_set = self.model, self.tx, self.alpha_set
         batch_size = self.batch_size
         mesh = self.mesh
         batch_spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
 
         cond_dropout = float(self.cfg.training_args.cond_dropout or 0.0)
+        from dhg.data.pipeline import gather_batch
 
-        def step(state: TrainState, key: jax.Array):
+        def step(state: TrainState, key: jax.Array, arrays):
             k_batch, k_alpha, k_eps, k_drop, k_cond = jax.random.split(key, 5)
-            strokes3, text, style = data.sample_batch(k_batch, batch_size)
+            strokes3, text, style = gather_batch(arrays, k_batch, batch_size)
             strokes3 = jax.lax.with_sharding_constraint(strokes3, batch_spec)
             text = jax.lax.with_sharding_constraint(text, batch_spec)
             style = jax.lax.with_sharding_constraint(style, batch_spec)
@@ -380,6 +393,14 @@ class Trainer:
                 if val_cache is not None:
                     dists.append(_dist(count, ta.val_freq))
                 k = min(k_max, *dists)
+                if 1 < k < k_max:
+                    # Round boundary chunks down to a power of two: every
+                    # distinct K is its own XLA program (1-6 min remote
+                    # compile each — the round-3 10k run paid ~2 min per
+                    # odd boundary K), so bound the set at
+                    # {k_max, 8, 4, 2, 1} for the cost of at most a few
+                    # extra (already-compiled) chunk calls per boundary.
+                    k = 1 << (k.bit_length() - 1)
 
                 if k <= 1:
                     count += 1
@@ -465,7 +486,31 @@ class Trainer:
         return state
 
 
+def _install_interrupt_handlers() -> None:
+    """Make interrupt-save work for DETACHED runs, not just terminals.
+
+    Two production realities the default dispositions miss:
+      * a process launched as a shell background job (`cmd &` in a
+        non-interactive shell — any nohup/daemon/driver launch) inherits
+        SIGINT as SIG_IGN, and CPython then leaves it ignored — Ctrl-C
+        semantics silently vanish and the KeyboardInterrupt save path in
+        Trainer.train can never fire (observed on the round-3 10k run);
+      * TPU/GPU cluster preemption delivers SIGTERM, which by default
+        kills the process without flushing the async checkpointer.
+    Both are mapped to KeyboardInterrupt so one code path does the
+    save-params+opt+step, drain-async-saver shutdown.
+    """
+    import signal
+
+    def _raise(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGINT, _raise)  # overrides inherited SIG_IGN
+    signal.signal(signal.SIGTERM, _raise)  # preemption-safe checkpointing
+
+
 def main(cfg: DLConfig) -> None:
+    _install_interrupt_handlers()
     trainer = Trainer(cfg)
     meta, logger = prepare_exp(cfg)
     logger.info(f"Config:\n{cfg.pretty_text}\n")

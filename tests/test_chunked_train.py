@@ -76,6 +76,23 @@ def _reference_cadence(steps, freq):
     return out
 
 
+def test_cache_not_embedded_in_program(tmp_path):
+    """Dataset arrays must enter the jitted step as ARGUMENTS, not closure
+    constants: closed-over arrays serialize into the HLO, and a real-scale
+    cache blows past the remote-compile service's request-size limit
+    (HTTP 413 measured at max_files=4096 synthetic, round 3 — style alone
+    is N x 14 x 1280 f32). With a 64-sample cache (~4.6 MB of style), an
+    embedded-literal program would stringify to tens of MB; the
+    argument-passing program stays well under 3 MB."""
+    cfg = _cfg(tmp_path, **{"training_args.max_files": 64})
+    t = Trainer(cfg)
+    data = t.load_dataset()
+    step = jax.jit(t._build_step(), donate_argnums=(0,))
+    state = t.init_state(0)
+    text = step.lower(state, jax.random.PRNGKey(0), data.arrays).as_text()
+    assert len(text) < 3_000_000, f"step program is {len(text)} bytes — cache embedded?"
+
+
 def test_chunked_cadence_matches_reference(tmp_path):
     """steps_per_call=auto (the default) must emit exactly the reference's
     log/checkpoint cadence: chunk ends align with save boundaries, log

@@ -65,6 +65,87 @@ def test_resume_roundtrip(tmp_path):
     assert np.all(np.isfinite(np.asarray(metrics)))
 
 
+def test_detached_sigterm_saves_checkpoint_last(tmp_path):
+    """A DETACHED training process (SIGINT inherited as SIG_IGN — any
+    `cmd &` / nohup / driver launch) must still checkpoint on SIGTERM:
+    cluster preemption sends SIGTERM, and the round-3 10k run showed the
+    default dispositions lose both signals (dhg/train.py::
+    _install_interrupt_handlers). Launch the real CLI with SIGINT ignored,
+    SIGTERM it mid-run, and expect checkpoint_last + model_last with the
+    interrupt log line."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    # Force the CPU backend the way that actually works in this env
+    # (jax.config BEFORE backend init — env vars are dead, DEVNOTES.md),
+    # then hand off to the real dhg.train __main__.
+    wrapper = tmp_path / "train_cpu.py"
+    wrapper.write_text(
+        "import os, sys\n"
+        "sys.path.insert(0, os.getcwd())\n"  # script-path launch drops cwd
+        "import jax\n"
+        'jax.config.update("jax_platforms", "cpu")\n'
+        "import runpy\n"
+        "sys.argv = sys.argv[1:]\n"
+        'runpy.run_module("dhg.train", run_name="__main__")\n'
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            str(wrapper),
+            "dhg.train",
+            "--config=smoke.yml",
+            f"--experiment.work_dir={tmp_path}",
+            "--training_args.steps=100000",
+            "--training_args.log_freq=5",
+            "--training_args.save_freq=100000",
+            "--training_args.channels=32",
+            "--training_args.att_layers_num=1",
+            "--training_args.batch_size=4",
+            "--training_args.max_files=8",
+            "--dataset_args.max_seq_len=96",
+            "--dataset_args.max_text_len=20",
+        ],
+        env=dict(os.environ),
+        preexec_fn=lambda: signal.signal(signal.SIGINT, signal.SIG_IGN),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd=os.getcwd(),
+    )
+    try:
+        run_log = None
+        deadline = time.time() + 300
+        # Wait until the loop is demonstrably stepping (a "Step N | Loss"
+        # line), then interrupt it.
+        while time.time() < deadline:
+            logs = list(tmp_path.glob("*/*/*/run.log"))
+            if logs:
+                run_log = logs[0]
+                if "| Loss:" in run_log.read_text():
+                    break
+            time.sleep(1.0)
+        assert run_log is not None, "run.log never appeared"
+        assert "| Loss:" in run_log.read_text(), "loop never started stepping"
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+        text = run_log.read_text()
+        assert "Training interrupted" in text
+        exp_dir = run_log.parent
+        assert (exp_dir / "checkpoint_last").exists()
+        assert (exp_dir / "model_last").exists()
+        from dhg.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(exp_dir / "checkpoint_last")
+        assert int(restored["step"]) > 0
+        assert "opt_state" in restored
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_sample_lines_varied_lengths():
     from dhg.inference import sample_lines
     from dhg.models.denoiser import DiffusionModel
