@@ -122,7 +122,19 @@ def _sample_jit(
                 {"params": params}, pre, se, method=DiffusionModel.encode_cond_tail
             )
 
-        return jax.lax.map(tail, sigma_embs) if compact else jax.vmap(tail)(sigma_embs)
+        if not compact:
+            return jax.vmap(tail)(sigma_embs)
+        # DHG_COND_CHUNK > 1 runs the 60 tails as ceil(60/chunk) sequential
+        # chunks of chunk-vmapped work (lax.map batch_size). Measured
+        # NEGATIVE at chunk=10 — slower than sequential at every batch
+        # (PERFORMANCE.md "Round-3: hoist sweep" finding 5) — so the
+        # default stays 1 (fully sequential); the knob remains for A/B.
+        import os
+
+        chunk = int(os.environ.get("DHG_COND_CHUNK", "1"))
+        if chunk > 1:
+            return jax.lax.map(tail, sigma_embs, batch_size=chunk)
+        return jax.lax.map(tail, sigma_embs)
 
     cond_all = encode_all(text, style)
     text_mask = create_padding_mask(text)
