@@ -30,6 +30,7 @@ Capability superset of the reference (which has no serving path at all).
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
 from collections import deque
@@ -87,7 +88,17 @@ class GenerationService:
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.buckets: list[int] = []
-        self.stats = {"requests": 0, "batches": 0, "largest_batch": 0}
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "largest_batch": 0,
+            "last_batch_ms": 0.0,
+            "max_batch_ms": 0.0,
+            "slow_batches": 0,  # batches over slow_ms (observability for
+            # tail anomalies like PERFORMANCE.md's first-burst stall)
+        }
+        self.slow_ms = 2000.0
+        self._warming = False  # warmup compiles are expected-slow; don't warn
 
         self._queue: deque[_Pending] = deque()
         self._cv = threading.Condition()
@@ -145,6 +156,15 @@ class GenerationService:
         the first 16-concurrent burst took 41 s (two fresh compiles) vs
         0.33 s warm.
 
+        Warmup runs THROUGH the batcher queue, not by calling the sampler
+        directly: the first dispatch of a program from a fresh thread pays
+        a thread-affinity cost even when the program is already compiled
+        (measured round 3: 0.5 s in a minimal probe, 10.5 s for the first
+        live batch of a 2-bucket server — PERFORMANCE.md serving section),
+        so main-thread warmup would leave that cost for the first live
+        burst. Enqueueing synthetic groups exercises the exact live path:
+        batcher thread, grouping, padding, program, D2H.
+
         Coverage: both diffusion modes are warmed by default. Guided
         requests share ONE program per (bucket, batch, mode) regardless of
         guidance_scale (the scale is traced, not static — dhg.inference.
@@ -154,12 +174,30 @@ class GenerationService:
         a one-time compile (head-of-line for the batcher) — the program is
         cached afterwards."""
         scales = [None] + ([2.0] if guided else [])
-        for seq_len in buckets:
-            for mode in modes:
-                for g in scales:
-                    for b in BATCH_SIZES:
-                        self._run_bucket([[3, 1]] * b, list(range(b)), seq_len, mode, g)
-            self.buckets.append(seq_len)
+        self._warming = True
+        try:
+            for seq_len in buckets:
+                for mode in modes:
+                    for g in scales:
+                        for b in BATCH_SIZES:
+                            group = [
+                                _Pending([3, 1], i, mode, g, seq_len) for i in range(b)
+                            ]
+                            with self._cv:
+                                self._queue.extend(group)
+                                self._cv.notify_all()
+                            for p in group:
+                                p.done.wait()
+                                if p.error is not None:
+                                    raise p.error
+                self.buckets.append(seq_len)
+        finally:
+            self._warming = False
+        with self._cv:  # warmup traffic is not serving traffic
+            self.stats.update(
+                requests=0, batches=0, largest_batch=0,
+                last_batch_ms=0.0, max_batch_ms=0.0, slow_batches=0,
+            )
 
     # -- the batched sampler call --------------------------------------------
 
@@ -218,6 +256,7 @@ class GenerationService:
     def _serve_group(self, group: list[_Pending]):
         try:
             bucket = group[0].bucket
+            t0 = time.perf_counter()
             out = self._run_bucket(
                 [p.tokens for p in group],
                 [p.seed for p in group],
@@ -225,9 +264,18 @@ class GenerationService:
                 group[0].mode,
                 group[0].guidance,
             )
+            ms = (time.perf_counter() - t0) * 1000
+            if ms > self.slow_ms and not self._warming:
+                logging.getLogger(__name__).warning(
+                    "slow batch: n=%d bucket=%d mode=%s took %.0f ms",
+                    len(group), bucket, group[0].mode, ms,
+                )
             with self._cv:  # stats are read by /healthz from request threads
                 self.stats["batches"] += 1
                 self.stats["largest_batch"] = max(self.stats["largest_batch"], len(group))
+                self.stats["last_batch_ms"] = round(ms, 1)
+                self.stats["max_batch_ms"] = max(self.stats["max_batch_ms"], round(ms, 1))
+                self.stats["slow_batches"] += ms > self.slow_ms
             for i, p in enumerate(group):
                 p.seq_len = bucket
                 p.result = out[i, : infer_seq_len(len(p.tokens))]
