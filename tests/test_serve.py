@@ -90,6 +90,25 @@ def test_long_prompt_clamps_to_warmed_bucket(server):
     assert np.asarray(body["strokes"]).shape == (104, 3)
 
 
+def test_warmup_runs_on_batcher_thread_and_resets_stats(server):
+    """warmup() must exercise the LIVE path — batcher thread, grouping,
+    padding — not call the sampler from the main thread: the first
+    dispatch from a fresh thread pays a thread-affinity cost that
+    measured 10.5 s for the first live batch of a TPU server warmed from
+    the main thread (round 3, PERFORMANCE.md serving section). Contract
+    pinned here: warmup traffic is not serving traffic (stats reset to
+    zero) and the observability fields exist for /healthz consumers."""
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        stats = json.loads(r.read())["stats"]
+    for field in ("last_batch_ms", "max_batch_ms", "slow_batches"):
+        assert field in stats, stats
+    # Warmup ran 2 modes x 5 batch sizes through the queue before any test
+    # request; if those leaked into stats, requests would be >= 30 already.
+    # (Other tests in this module run first — bound rather than pin.)
+    assert stats["requests"] < 30
+    assert stats["slow_batches"] == 0  # no live batch ever crossed slow_ms
+
+
 def test_standard_mode_is_warmed(server):
     """warmup() precompiles BOTH diffusion modes by default; a standard-mode
     request must succeed (and not head-of-line-block on a fresh compile)."""
