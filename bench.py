@@ -152,6 +152,10 @@ def bench_training(batch: int = 96, steps: int = 32, trials: int = TRIALS) -> di
     chunk = t.make_chunk_fn(data)
     key = jax.random.PRNGKey(0)
 
+    # Whole 16-step chunks only: `steps` rounds UP to a multiple of 16 and
+    # the rate divides by the steps actually executed.
+    steps = -(-steps // 16) * 16
+
     def run(base: int) -> None:
         # 16-step chunks exactly like Trainer.train's auto mode, one D2H
         # fence at the end of the window (see timed()).

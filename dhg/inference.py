@@ -129,6 +129,9 @@ def _sample_jit(
         # NEGATIVE at chunk=10 — slower than sequential at every batch
         # (PERFORMANCE.md "Round-3: hoist sweep" finding 5) — so the
         # default stays 1 (fully sequential); the knob remains for A/B.
+        # NOTE: read at TRACE time and not part of the jit cache key —
+        # changing it mid-process silently reuses the already-compiled
+        # program. A/B it across fresh processes (as bench_hoist does).
         import os
 
         chunk = int(os.environ.get("DHG_COND_CHUNK", "1"))

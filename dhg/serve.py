@@ -302,9 +302,12 @@ class GenerationService:
         tokens = self.tokenizer.encode(prompt)
         if len(tokens) > self.max_text_len:
             raise ValueError(f"prompt too long ({len(tokens)} tokens > {self.max_text_len})")
-        req = _Pending(
-            tokens, seed, diffusion_mode, guidance_scale, self.bucket_for(len(tokens))
-        )
+        bucket = self.bucket_for(len(tokens))
+        # A prompt longer than every warmed bucket clamps (bucket_for): the
+        # output is capped at the bucket length, i.e. the line may stop
+        # mid-text. Surface that instead of returning a silently-short 200.
+        truncated = bucket < infer_seq_len(len(tokens))
+        req = _Pending(tokens, seed, diffusion_mode, guidance_scale, bucket)
         t0 = time.perf_counter()
         with self._cv:
             self._queue.append(req)
@@ -314,7 +317,7 @@ class GenerationService:
         if req.error is not None:
             raise req.error
         ms = (time.perf_counter() - t0) * 1000
-        return req.result, req.seq_len, ms
+        return req.result, req.seq_len, ms, truncated
 
 
 def make_handler(service: GenerationService):
@@ -345,7 +348,7 @@ def make_handler(service: GenerationService):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 prompt = req["prompt"]
-                strokes, seq_len, ms = service.generate_line(
+                strokes, seq_len, ms, truncated = service.generate_line(
                     prompt,
                     seed=int(req.get("seed", 0)),
                     diffusion_mode=req.get("diffusion_mode", "new"),
@@ -357,6 +360,10 @@ def make_handler(service: GenerationService):
                         "strokes": np.round(strokes, 5).tolist(),
                         "seq_len": seq_len,
                         "ms": round(ms, 2),
+                        # True when the prompt exceeded every warmed bucket
+                        # and the output was capped at the largest one —
+                        # the line may stop mid-text (see bucket_for).
+                        "truncated": truncated,
                     },
                 )
             except (KeyError, ValueError) as e:

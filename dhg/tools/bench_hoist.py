@@ -24,6 +24,11 @@ SEQ_LEN = 392  # 24-token prompt bucket, same as bench.py
 
 
 def measure(batch: int, hoist: str, iters: int = 4) -> dict:
+    # Methodology mirrors bench.py (same model plan/init keys, chained
+    # dispatch with one D2H fence — bench.py::timed_sustained); kept
+    # inline rather than imported so this tool can vary `hoist` and batch
+    # without touching the driver-contract file. If bench.py's timing
+    # methodology changes, change this to match.
     from dhg.inference import _sample_jit
     from dhg.models.denoiser import DiffusionModel
     import jax.numpy as jnp

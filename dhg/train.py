@@ -417,6 +417,13 @@ class Trainer:
                     state, rows = chunk_fn(state, root_key, counts)
                     count += k
 
+                if _InterruptFlag.pending:
+                    # Raised HERE — state freshly rebound, buffers live —
+                    # never from the signal handler (see
+                    # _install_interrupt_handlers for the donation hazard).
+                    _InterruptFlag.pending = False
+                    raise KeyboardInterrupt
+
                 # Per-step log bookkeeping over the rows just executed —
                 # identical lines/cadence to the per-step loop (the window
                 # flushes as [n, 3] device slices; one D2H per log line).
@@ -486,6 +493,12 @@ class Trainer:
         return state
 
 
+class _InterruptFlag:
+    """Deferred-interrupt latch shared by the signal handlers and the loop."""
+
+    pending = False
+
+
 def _install_interrupt_handlers() -> None:
     """Make interrupt-save work for DETACHED runs, not just terminals.
 
@@ -497,16 +510,24 @@ def _install_interrupt_handlers() -> None:
         Trainer.train can never fire (observed on the round-3 10k run);
       * TPU/GPU cluster preemption delivers SIGTERM, which by default
         kills the process without flushing the async checkpointer.
-    Both are mapped to KeyboardInterrupt so one code path does the
-    save-params+opt+step, drain-async-saver shutdown.
+
+    The handler does NOT raise asynchronously: the train step/chunk call
+    donates the old state's buffers, so a KeyboardInterrupt landing inside
+    `state, rows = chunk_fn(state, ...)` — after donation invalidated the
+    old buffers, before `state` is rebound — would leave the except-block
+    saving deleted arrays and lose the checkpoint this feature exists to
+    write. Instead the handler latches a flag; Trainer.train raises
+    KeyboardInterrupt at the next safe point (state freshly rebound), so
+    the interrupt save always sees live buffers. Cost: an interrupt during
+    a long remote compile waits for that call to return.
     """
     import signal
 
-    def _raise(signum, frame):
-        raise KeyboardInterrupt
+    def _latch(signum, frame):
+        _InterruptFlag.pending = True
 
-    signal.signal(signal.SIGINT, _raise)  # overrides inherited SIG_IGN
-    signal.signal(signal.SIGTERM, _raise)  # preemption-safe checkpointing
+    signal.signal(signal.SIGINT, _latch)  # overrides inherited SIG_IGN
+    signal.signal(signal.SIGTERM, _latch)  # preemption-safe checkpointing
 
 
 def main(cfg: DLConfig) -> None:

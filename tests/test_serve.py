@@ -88,6 +88,13 @@ def test_long_prompt_clamps_to_warmed_bucket(server):
     assert status == 200
     assert body["seq_len"] == 104
     assert np.asarray(body["strokes"]).shape == (104, 3)
+    assert body["truncated"] is True  # capped output is flagged, not silent
+
+
+def test_in_bucket_prompt_not_truncated(server):
+    status, body = _post(server + "/generate", {"prompt": "ab", "seed": 2})
+    assert status == 200
+    assert body["truncated"] is False
 
 
 def test_warmup_runs_on_batcher_thread_and_resets_stats(server):
@@ -102,11 +109,12 @@ def test_warmup_runs_on_batcher_thread_and_resets_stats(server):
         stats = json.loads(r.read())["stats"]
     for field in ("last_batch_ms", "max_batch_ms", "slow_batches"):
         assert field in stats, stats
-    # Warmup ran 2 modes x 5 batch sizes through the queue before any test
-    # request; if those leaked into stats, requests would be >= 30 already.
-    # (Other tests in this module run first — bound rather than pin.)
+    # Warmup ran 2 modes x 5 batch sizes (31 requests/mode) through the
+    # queue before any test request; if those leaked into stats, requests
+    # would be >= 62 already. (Other tests in this module run first —
+    # bound rather than pin. slow_batches is deliberately NOT asserted
+    # zero: a loaded CI host can push a warm CPU batch past slow_ms.)
     assert stats["requests"] < 30
-    assert stats["slow_batches"] == 0  # no live batch ever crossed slow_ms
 
 
 def test_standard_mode_is_warmed(server):
