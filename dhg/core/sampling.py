@@ -172,7 +172,15 @@ def diffusion_sample(
         return x_next.astype(dtype), pen
 
     xs = (idxs, alpha_next_set, noises, step_ctx)
-    x_final, pens = jax.lax.scan(body, x0, xs)
+    # DHG_SCAN_UNROLL > 1 unrolls the scan body (numerically identical —
+    # same ops in the same data-dependency order; only XLA's scheduling
+    # window widens across adjacent steps, e.g. step t+1's weight/ctx
+    # prefetches can overlap step t compute). NOTE: read at TRACE time,
+    # not part of the jit cache key — A/B across fresh processes.
+    import os
+
+    unroll = int(os.environ.get("DHG_SCAN_UNROLL", "1"))
+    x_final, pens = jax.lax.scan(body, x0, xs, unroll=unroll)
     return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)
 
 

@@ -106,32 +106,98 @@ def _sdpa(q, k, v, num_heads, neg=None):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _encoder_layer(x, pe, negs, num_heads, rows, t, ops):
+def _one_head_rows(qh, kh, vh, scale, neg):
+    """softmax(q k^T * scale + neg) v for one head over ALL packed rows via
+    rank-3 batched dots (Mosaic lowers batched dot_general natively):
+    qh [R, T, hd], kh/vh [R, L, hd], neg [R, 1, L] or None. Element-wise
+    the same op sequence as _one_head — bf16 logits (f32 MXU accum), f32
+    softmax, bf16 PV — just batched over the row dim."""
+    logits = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=F32
+    ).astype(BF16) * jnp.asarray(scale, BF16)
+    if neg is not None:
+        logits = logits + neg  # [R, T, L] + [R, 1, L]
+    lf = logits.astype(F32)
+    lf = lf - jnp.max(lf, axis=-1, keepdims=True)
+    e = jnp.exp(lf)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(BF16)
+    return jax.lax.dot_general(
+        w, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=F32
+    ).astype(BF16)
+
+
+def _sdpa_batched_rows(q, k, v, num_heads, rows, t, neg=None):
+    """All packed rows' attention with one rank-3 dot pair per head (2H
+    batched dots instead of 2*rows*H rank-2 dots — the loop-overhead cut
+    DEVNOTES round-3 candidate #1 names "batched-head rank-3 dots").
+
+    q [rows*T, D] with heads as column blocks; k/v either [rows, H, L, hd]
+    head-major (precomputed cross K/V) or [rows*T, D] column blocks
+    (self-attention). neg [rows, 1, L] or None. Returns [rows*T, D]."""
+    d = q.shape[-1]
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    head_major = k.ndim == 4
+    q3 = q.reshape(rows, t, d)
+    if not head_major:
+        k3 = k.reshape(rows, t, d)
+        v3 = v.reshape(rows, t, d)
+    outs = []
+    for h in range(num_heads):
+        qh = q3[:, :, h * hd:(h + 1) * hd]
+        kh = k[:, h] if head_major else k3[:, :, h * hd:(h + 1) * hd]
+        vh = v[:, h] if head_major else v3[:, :, h * hd:(h + 1) * hd]
+        outs.append(_one_head_rows(qh, kh, vh, scale, neg))
+    return jnp.concatenate(outs, axis=-1).reshape(rows * t, d)
+
+
+def _encoder_layer(x, pe, negs, num_heads, rows, t, ops, batched=False):
     """One EncoderLayer.attend (dhg/models/encoder_layer.py) on `rows`
     packed batch rows: x, pe are [rows*T, D] so every dense/LN/FiLM op is
     one rows-times-bigger matmul/vector op; only the SDPA inner products
-    run per (row, head). kh/vh: [rows, H, L, hd]; negs: [rows, 1, L]."""
+    run per (row, head) — or per head only with `batched` (rank-3 dots
+    batched over rows). kh/vh: [rows, H, L, hd]; negs: [rows, 1, L]."""
     (kh, vh, wq, bq, wo, bo,
      wq2, bq2, wk2, bk2, wv2, bv2, wo2, bo2,
      w1, b1, w2, b2, g1, be1, g2, be2, g3, be3) = ops
 
-    def per_row_sdpa(q, k_of_row, v_of_row, neg_of_row):
-        outs = []
-        for r in range(rows):
-            outs.append(
-                _sdpa(
-                    q[r * t:(r + 1) * t],
-                    k_of_row(r),
-                    v_of_row(r),
-                    num_heads,
-                    neg_of_row(r),
+    if batched:
+        def cross_sdpa(q):
+            return _sdpa_batched_rows(q, kh, vh, num_heads, rows, t, negs)
+
+        def self_sdpa(q2, k2, v2):
+            return _sdpa_batched_rows(q2, k2, v2, num_heads, rows, t, None)
+    else:
+        def per_row_sdpa(q, k_of_row, v_of_row, neg_of_row):
+            outs = []
+            for r in range(rows):
+                outs.append(
+                    _sdpa(
+                        q[r * t:(r + 1) * t],
+                        k_of_row(r),
+                        v_of_row(r),
+                        num_heads,
+                        neg_of_row(r),
+                    )
                 )
+            return jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
+
+        def cross_sdpa(q):
+            return per_row_sdpa(
+                q, lambda r: kh[r], lambda r: vh[r], lambda r: negs[r]
             )
-        return jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
+
+        def self_sdpa(q2, k2, v2):
+            return per_row_sdpa(
+                q2,
+                lambda r: k2[r * t:(r + 1) * t],
+                lambda r: v2[r * t:(r + 1) * t],
+                lambda r: None,
+            )
 
     x_pe = x + pe
     q = _dense(x_pe, wq, bq)
-    att = per_row_sdpa(q, lambda r: kh[r], lambda r: vh[r], lambda r: negs[r])
+    att = cross_sdpa(q)
     x2 = _dense(att, wo, bo)
     x2 = _layer_norm(x2)
     x2 = x2 * g1 + be1 + x
@@ -140,12 +206,7 @@ def _encoder_layer(x, pe, negs, num_heads, rows, t, ops):
     q2 = _dense(x2_pe, wq2, bq2)
     k2 = _dense(x2_pe, wk2, bk2)
     v2 = _dense(x2, wv2, bv2)
-    att2 = per_row_sdpa(
-        q2,
-        lambda r: k2[r * t:(r + 1) * t],
-        lambda r: v2[r * t:(r + 1) * t],
-        lambda r: None,
-    )
+    att2 = self_sdpa(q2, k2, v2)
     x3 = _dense(att2, wo2, bo2)
     x3 = _layer_norm(x2 + x3)
     x3 = x3 * g2 + be2
@@ -157,7 +218,7 @@ def _encoder_layer(x, pe, negs, num_heads, rows, t, ops):
     return _layer_norm(x4) * g3 + be3
 
 
-def _make_kernel(num_layers, num_heads, rows, t8):
+def _make_kernel(num_layers, num_heads, rows, t8, batched=False):
     def kernel(*refs):
         x_ref, aw_ref, ab_ref, pe_ref, neg_ref = refs[:5]
         out_ref = refs[-1]
@@ -167,14 +228,16 @@ def _make_kernel(num_layers, num_heads, rows, t8):
         negs = neg_ref[...]  # [rows, 1, L]
         for i in range(num_layers):
             vals = [r[:] for r in refs[5 + i * _PER_LAYER: 5 + (i + 1) * _PER_LAYER]]
-            x = _encoder_layer(x, pe, negs, num_heads, rows, t8, tuple(vals))
+            x = _encoder_layer(
+                x, pe, negs, num_heads, rows, t8, tuple(vals), batched
+            )
         out_ref[...] = x.reshape(rows, t8, x.shape[-1])
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "rows", "interpret")
+    jax.jit, static_argnames=("num_heads", "rows", "interpret", "batched")
 )
 def fused_encoder_layer(
     x,  # [B, T, D] bf16
@@ -184,6 +247,7 @@ def fused_encoder_layer(
     num_heads: int,
     rows: int = 8,
     interpret: bool = False,
+    batched: bool = False,
 ):
     """One EncoderLayer.attend as a single Pallas program (row-packed).
 
@@ -212,7 +276,7 @@ def fused_encoder_layer(
         vals = [r[:] for r in refs[3:3 + _PER_LAYER]]
         out = _encoder_layer(
             x_ref[...].reshape(rows * t, d), pe_ref[:], neg_ref[...],
-            num_heads, rows, t, tuple(vals),
+            num_heads, rows, t, tuple(vals), batched,
         )
         out_ref[...] = out.reshape(rows, t, d)
 
@@ -288,7 +352,7 @@ def _upsample2_packed(x3):
     )
 
 
-def _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4):
+def _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4, batched=False):
     t8 = t4 // 2
 
     def kernel(*refs):
@@ -311,7 +375,7 @@ def _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4):
         # enc5 EncoderLayer at T/4
         x2d = _encoder_layer(
             x3.reshape(rows * t4, c3), pe4_ref[:], negs, enc5_heads,
-            rows, t4, tuple(enc5_ops),
+            rows, t4, tuple(enc5_ops), batched,
         )
         h3 = x2d.reshape(rows, t4, c3)
 
@@ -320,7 +384,9 @@ def _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4):
         x8 = _dense(xb.reshape(rows * t8, c3), aw_ref[:], ab_ref[:])
         for i in range(num_layers):
             ops = [r[:] for r in refs[base + i * _PER_LAYER: base + (i + 1) * _PER_LAYER]]
-            x8 = _encoder_layer(x8, pe8_ref[:], negs, att_heads, rows, t8, tuple(ops))
+            x8 = _encoder_layer(
+                x8, pe8_ref[:], negs, att_heads, rows, t8, tuple(ops), batched
+            )
         d = x8.shape[-1]
 
         # upsample + skip_conv3 + dec3 ConvBlock back at T/4
@@ -334,7 +400,9 @@ def _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_layers", "att_heads", "enc5_heads", "rows", "interpret"),
+    static_argnames=(
+        "num_layers", "att_heads", "enc5_heads", "rows", "interpret", "batched"
+    ),
 )
 def fused_unet_t4(
     x,  # [B, T4, c2] bf16 (pooled h2)
@@ -352,6 +420,7 @@ def fused_unet_t4(
     enc5_heads: int = 4,
     rows: int = 4,
     interpret: bool = False,
+    batched: bool = False,
 ):
     b, t4, c2 = x.shape
     c3 = skip3_w.shape[1]
@@ -388,7 +457,7 @@ def fused_unet_t4(
         in_specs += [full] * (_PER_LAYER - 2)
 
     return pl.pallas_call(
-        _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4),
+        _make_t4_kernel(num_layers, att_heads, enc5_heads, rows, t4, batched),
         out_shape=jax.ShapeDtypeStruct((b, t4, c3), x.dtype),
         grid=(b // rows,),
         in_specs=in_specs,
@@ -401,7 +470,8 @@ def fused_unet_t4(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_layers", "num_heads", "rows", "interpret")
+    jax.jit,
+    static_argnames=("num_layers", "num_heads", "rows", "interpret", "batched"),
 )
 def fused_bottleneck(
     x,  # [B, T8, Cin] bf16 (pooled h3)
@@ -413,6 +483,7 @@ def fused_bottleneck(
     num_heads: int = 6,
     rows: int = 1,  # batch rows packed per grid cell (must divide B)
     interpret: bool = False,
+    batched: bool = False,  # rank-3 row-batched SDPA dots (see _sdpa_batched_rows)
 ):
     b, t8, cin = x.shape
     d = att_w.shape[-1]
@@ -437,7 +508,7 @@ def fused_bottleneck(
         in_specs += [per_kv, per_kv] + [full] * (_PER_LAYER - 2)
 
     return pl.pallas_call(
-        _make_kernel(num_layers, num_heads, rows, t8),
+        _make_kernel(num_layers, num_heads, rows, t8, batched),
         out_shape=jax.ShapeDtypeStruct((b, t8, d), x.dtype),
         grid=(b // rows,),
         in_specs=in_specs,

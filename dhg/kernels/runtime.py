@@ -43,6 +43,22 @@ def fused_bottleneck_mode() -> str:
     return "on" if v == "1" else "auto"
 
 
+def sdpa_batched() -> bool:
+    """Rank-3 row-batched SDPA dots inside the fused Pallas kernels
+    (dhg/kernels/fused_bottleneck.py::_sdpa_batched_rows): 2*H batched
+    dots per attention instead of 2*rows*H rank-2 dots. Bit-identical to
+    the per-(row,head) loop on TPU hardware (A/B maxdiff 0.0) but a
+    measured NEGATIVE in the sampler: 36.9k vs 40.0k steps/s at batch 96,
+    47.8k vs 49.2k at 256, compact hoist — Mosaic's batched-dot lowering
+    pipelines worse in-scan than the unrolled per-row dots, even though a
+    STANDALONE per-call microbench shows the opposite by 10x (that bench
+    is dominated by per-dispatch program overhead, which scales with the
+    unrolled variant's instruction count and is paid once, not per call,
+    inside the sampler's scan — see DEVNOTES measurement lessons).
+    Default off; DHG_SDPA_BATCHED=1 opts in for A/B."""
+    return os.environ.get("DHG_SDPA_BATCHED", "0") == "1"
+
+
 def fused_t4_mode() -> str:
     """Extended T/4 U-Net megakernel (enc4+enc5+bottleneck+skip3+dec3 in
     one program): "off" | "on". DEFAULT OFF — measured SLOWER than the

@@ -223,6 +223,7 @@ class DiffusionModel(nn.Module):
         """Route one EncoderLayer.attend through the single-layer Pallas
         kernel (sampler path; gated by _can_fuse_bottleneck)."""
         from dhg.kernels.fused_bottleneck import fused_encoder_layer
+        from dhg.kernels.runtime import sdpa_batched
         from dhg.ops.attention import pos_embeddings
 
         bf = jnp.bfloat16
@@ -237,6 +238,7 @@ class DiffusionModel(nn.Module):
             tuple(_encoder_layer_ops(layer, kv, film3, bf)),
             num_heads=layer.num_heads, rows=rows,
             interpret=_jax.default_backend() != "tpu",
+            batched=sdpa_batched(),
         )
 
     def decode_unet(
@@ -302,6 +304,7 @@ class DiffusionModel(nn.Module):
         """Collect weights and dispatch the Pallas megakernel (att_dense +
         the whole att_layers stack in ONE program per batch row)."""
         from dhg.kernels.fused_bottleneck import fused_bottleneck
+        from dhg.kernels.runtime import sdpa_batched
         from dhg.ops.attention import pos_embeddings
 
         bf = jnp.bfloat16
@@ -324,6 +327,7 @@ class DiffusionModel(nn.Module):
             x.astype(bf), aw, ab, pe, neg, tuple(ops),
             num_layers=self.num_layers, num_heads=heads, rows=rows,
             interpret=_jax.default_backend() != "tpu",
+            batched=sdpa_batched(),
         )
 
     def _can_fuse_t4(self, kvs, films, deterministic) -> bool:
@@ -399,6 +403,8 @@ class DiffusionModel(nn.Module):
         rows = next(r for r in (8, 4, 2, 1) if b % r == 0)
         import jax as _jax
 
+        from dhg.kernels.runtime import sdpa_batched
+
         x = fused_unet_t4(
             x4.astype(bf), neg, pe4, pe8, aw, ab, sk3w, sk3b,
             tuple(conv_ops(self.enc4, cf[2])),
@@ -410,6 +416,7 @@ class DiffusionModel(nn.Module):
             enc5_heads=self.enc5.num_heads,
             rows=rows,
             interpret=_jax.default_backend() != "tpu",
+            batched=sdpa_batched(),
         )
 
         # Decoder back up (identical to decode_unet's tail).

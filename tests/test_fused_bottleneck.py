@@ -171,6 +171,37 @@ def test_fused_single_encoder_layer(ctx, which):
     assert np.median(np.abs(a - b)) < 5e-3
 
 
+def test_sdpa_batched_matches_loop(ctx):
+    """The rank-3 row-batched SDPA variant (DHG_SDPA_BATCHED, default on)
+    computes the same contractions as the per-(row,head) loop — outputs
+    must match exactly (on TPU hardware the A/B measured bit-identical;
+    interpret mode runs both through jnp)."""
+    from dhg.kernels.fused_bottleneck import fused_bottleneck
+    from dhg.models import denoiser as dz
+
+    model, params, x, kvs, films, mask = ctx
+
+    def collect(m, xb):
+        bf = jnp.bfloat16
+        aw, ab = dz._wb(m.att_dense, bf)
+        ops = []
+        for i, layer in enumerate(m.att_layers):
+            ops += dz._encoder_layer_ops(
+                layer, kvs[2 + i], films["attn"][2 + i], bf
+            )
+        return aw, ab, tuple(ops)
+
+    aw, ab, ops = model.apply({"params": params}, x, method=collect)
+    from dhg.ops.attention import pos_embeddings
+
+    pe = pos_embeddings(x.shape[1], 192, 1.0, jnp.bfloat16)[0]
+    neg = (mask * -1e9).astype(jnp.bfloat16)[:, 0]
+    kw = dict(num_layers=2, num_heads=6, rows=3, interpret=True)
+    a = fused_bottleneck(x, aw, ab, pe, neg, ops, batched=False, **kw)
+    b = fused_bottleneck(x, aw, ab, pe, neg, ops, batched=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_gate_requires_sampler_context(ctx):
     model, params, x, kvs, films, mask = ctx
     gate = model.apply(
