@@ -15,6 +15,16 @@ Python loop, inference.py:84-94). Step-rule parity:
     with abar_next = alpha_set[i-1] for i > 1 else 1.0
     (utils/nn.py:90-112, inference.py:87)
 
+  * ddim_step — capability superset (absent in the reference): the
+    deterministic DDIM rule (Song et al. 2021, eta = 0)
+        x0_hat   = (x - sqrt(1-abar) * eps_hat) / sqrt(abar)
+        x_{t-1}  = sqrt(abar_prev) * x0_hat + sqrt(1-abar_prev) * eps_hat
+    with abar_prev = alpha_set[i-1] for i > 0 else 1.0. No noise is
+    injected after x_T, which is what makes DDIM the natural partner of
+    the strided fewer-step schedule (generate(n_steps=k)): the update
+    only needs the (abar, abar_prev) pair, so it is exact on any
+    sub-schedule rather than approximating skipped ancestral steps.
+
 The model is called with sigma = sqrt(abar_i) each step, and the pen-lift
 probabilities from the LAST step (i == 0) are attached as channel 3
 (inference.py:89-96).
@@ -54,6 +64,21 @@ def new_diffusion_step(
     """The paper's alternative step rule."""
     x_prev = (xt - jnp.sqrt(1.0 - alpha) * eps_pred) / jnp.sqrt(1.0 - beta)
     return x_prev + noise * jnp.sqrt(1.0 - alpha_next)
+
+
+def ddim_step(
+    xt: jnp.ndarray,
+    eps_pred: jnp.ndarray,
+    alpha: jnp.ndarray,
+    alpha_prev: jnp.ndarray,
+) -> jnp.ndarray:
+    """Deterministic DDIM update (Song et al. 2021, eta = 0).
+
+    alpha/alpha_prev are alpha_bar at the current and previous schedule
+    index (alpha_prev = 1 at the final step, which collapses the update
+    to the model's clean-sample estimate x0_hat)."""
+    x0_hat = (xt - jnp.sqrt(1.0 - alpha) * eps_pred) / jnp.sqrt(alpha)
+    return jnp.sqrt(alpha_prev) * x0_hat + jnp.sqrt(1.0 - alpha_prev) * eps_pred
 
 
 def infer_seq_len(num_tokens: int) -> int:
@@ -154,9 +179,15 @@ def diffusion_sample(
     alpha_next_set = jnp.where(
         idxs > 1, alpha_set[jnp.maximum(idxs - 1, 0)], jnp.ones((), dtype)
     )
+    # abar_prev[i] = alpha_set[i-1] if i > 0 else 1.0 (the mathematically
+    # exact previous level, used by the DDIM rule — note the reference's
+    # "new" rule quirk above treats i == 1 as 1.0 as well).
+    alpha_prev_set = jnp.where(
+        idxs > 0, alpha_set[jnp.maximum(idxs - 1, 0)], jnp.ones((), dtype)
+    )
 
     def body(x, per_step):
-        i, alpha_next, noise, ctx = per_step
+        i, alpha_next, alpha_prev, noise, ctx = per_step
         alpha = alpha_set[i]
         beta = beta_set[i]
         sigma = jnp.sqrt(alpha) * jnp.ones((batch_size, 1), dtype)
@@ -166,12 +197,14 @@ def diffusion_sample(
             eps_pred, pen = denoise_fn(x, sigma, ctx)
         if mode == "standard":
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
+        elif mode == "ddim":
+            x_next = ddim_step(x, eps_pred, alpha, alpha_prev)
         else:
             x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
         # eps_pred is f32 (model heads); keep the carry dtype stable.
         return x_next.astype(dtype), pen
 
-    xs = (idxs, alpha_next_set, noises, step_ctx)
+    xs = (idxs, alpha_next_set, alpha_prev_set, noises, step_ctx)
     # DHG_SCAN_UNROLL > 1 unrolls the scan body (numerically identical —
     # same ops in the same data-dependency order; only XLA's scheduling
     # window widens across adjacent steps, e.g. step t+1's weight/ctx
@@ -230,6 +263,9 @@ def diffusion_sample_encoder_reuse(
     alpha_next_set = jnp.where(
         idxs > 1, alpha_set[jnp.maximum(idxs - 1, 0)], jnp.ones((), dtype)
     )
+    alpha_prev_set = jnp.where(
+        idxs > 0, alpha_set[jnp.maximum(idxs - 1, 0)], jnp.ones((), dtype)
+    )
     ts = jnp.arange(n)
 
     ctx0 = jax.tree.map(lambda a: a[0], step_ctx)
@@ -238,7 +274,7 @@ def diffusion_sample_encoder_reuse(
 
     def body(carry, per_step):
         x, feats = carry
-        t, i, alpha_next, noise, ctx = per_step
+        t, i, alpha_next, alpha_prev, noise, ctx = per_step
         alpha = alpha_set[i]
         beta = beta_set[i]
 
@@ -250,12 +286,14 @@ def diffusion_sample_encoder_reuse(
         eps_pred, pen = decode_fn(feats, ctx)
         if mode == "standard":
             x_next = standard_diffusion_step(x, eps_pred, beta, alpha, noise, i > 0)
+        elif mode == "ddim":
+            x_next = ddim_step(x, eps_pred, alpha, alpha_prev)
         else:
             x_next = new_diffusion_step(x, eps_pred, beta, alpha, alpha_next, noise)
         # eps_pred is f32 (model heads); keep the carry dtype stable.
         return (x_next.astype(dtype), feats), pen
 
     (x_final, _), pens = jax.lax.scan(
-        body, (x0, feats0), (ts, idxs, alpha_next_set, noises, step_ctx)
+        body, (x0, feats0), (ts, idxs, alpha_next_set, alpha_prev_set, noises, step_ctx)
     )
     return jnp.concatenate([x_final, pens[-1][..., None]], axis=-1)

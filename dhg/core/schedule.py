@@ -36,6 +36,44 @@ def get_alpha_set(beta_set: jnp.ndarray | None = None) -> jnp.ndarray:
     return jnp.cumprod(1.0 - beta_set)
 
 
+def strided_beta_set(
+    n_steps: int, base: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Coarsened sub-schedule for fewer-step sampling (capability superset).
+
+    Keeps n_steps alpha_bar levels of the canonical table (evenly spaced
+    over schedule indices, both endpoints always included) and returns the
+    beta table whose cumprod(1 - beta) reproduces those levels EXACTLY:
+
+        beta_j = 1 - abar[s_j] / abar[s_{j-1}]      (abar[s_{-1}] = 1)
+
+    i.e. each strided beta absorbs the product of the skipped per-step
+    (1 - beta) factors — the standard strided-DDPM construction (Nichol &
+    Dhariwal 2021, sec. 4). The result drops into any beta_set slot
+    (diffusion_sample, _sample_jit): both step rules then walk the same
+    trajectory endpoints in n_steps model calls instead of 60.
+
+    n_steps == len(base) returns base unchanged (bit-identical identity).
+    """
+    if base is None:
+        base = get_beta_set()
+    n = base.shape[0]
+    if not 2 <= n_steps <= n:
+        raise ValueError(f"n_steps must be in [2, {n}], got {n_steps}")
+    if n_steps == n:
+        return base
+    # Index selection on the host in float64: f32 jnp.linspace rounds
+    # differently at some (n, n_steps) pairs (e.g. 59-of-60 flips index
+    # 29 -> 30), and the kept-level choice should not depend on device
+    # float quirks.
+    import numpy as np
+
+    idx = jnp.asarray(np.linspace(0, n - 1, n_steps).round().astype(np.int32))
+    abar = get_alpha_set(base)[idx]
+    prev = jnp.concatenate([jnp.ones((1,), abar.dtype), abar[:-1]])
+    return 1.0 - abar / prev
+
+
 def sample_alphas(key: jax.Array, batch_size: int, alpha_set: jnp.ndarray) -> jnp.ndarray:
     """Continuously sample alpha_bar values for a training batch.
 

@@ -269,8 +269,24 @@ def generate(
     mesh=None,
     sample_keys: jax.Array | None = None,
     hoist: str | None = None,
+    n_steps: int | None = None,
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
+
+    n_steps: optional strided sub-schedule — run n_steps < 60 denoiser
+    calls on a coarsened beta table that hits the same alpha_bar endpoints
+    (dhg.core.schedule.strided_beta_set; strided DDPM). None/60 = the
+    reference's exact 60-step loop. Speed scales ~linearly with n_steps;
+    fidelity vs the 60-step trajectory is measured in PERFORMANCE.md
+    ("Fewer-step sampling") — this is an opt-in superset, not a parity
+    path.
+
+    diffusion_mode: "new" (reference default) | "standard" (DDPM
+    ancestral) | "ddim" (deterministic DDIM, capability superset — exact
+    on any strided sub-schedule, the recommended partner for small
+    n_steps; dhg.core.sampling.ddim_step). Unknown strings fall through
+    to "new", matching the reference's `if mode == 'standard' else new`
+    dispatch (utils/nn.py:64-112).
 
     hoist: "full" | "compact" | None (auto = "compact"). Round-3 v5e
     measurement (PERFORMANCE.md "Round-3: hoist sweep") found compact —
@@ -293,6 +309,15 @@ def generate(
         guidance_scale = None  # g=1 is exactly the unguided sampler
     if hoist is None:
         hoist = "compact"
+    beta_set = None
+    if n_steps is not None:
+        from dhg.core.schedule import N_STEPS, strided_beta_set
+
+        # n_steps == 60 yields the canonical table bit-identically, but
+        # pass None so the jit cache key (a None literal) is shared with
+        # callers that never heard of n_steps.
+        if n_steps != N_STEPS:
+            beta_set = strided_beta_set(n_steps)
     if seq_len is None:
         # Longest prompt in the batch sets the bucket.
         lengths = np.asarray((text != 0).sum(axis=1))
@@ -312,7 +337,7 @@ def generate(
         text.shape[0],
         seq_len,
         key,
-        None,
+        beta_set,
         diffusion_mode,
         guidance_scale,
         encoder_reuse,
@@ -332,6 +357,7 @@ def sample_lines(
     guidance_scale: float | None = None,
     encoder_reuse: int | None = None,
     mesh=None,
+    n_steps: int | None = None,
 ) -> list[np.ndarray]:
     """Batched varied-length sampling (BASELINE config 2).
 
@@ -356,6 +382,7 @@ def sample_lines(
         guidance_scale=guidance_scale,
         encoder_reuse=encoder_reuse,
         mesh=mesh,
+        n_steps=n_steps,
     )
     arr = np.asarray(out)
     return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
@@ -394,11 +421,15 @@ def infer(
     guidance_scale: float | None = None,
     style_weights: str | None = None,
     strict_style: bool = False,
+    n_steps: int | None = None,
 ) -> np.ndarray:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
 
     style_weights: MobileNetV2 .npz path; falls back to the experiment
     config's dataset_args.style_weights, then the repo default.
+
+    n_steps: optional fewer-step sampling (strided sub-schedule, see
+    generate()); default None = the reference's 60-step loop.
     """
     if experiment_path:
         exp = Path(experiment_path)
@@ -441,6 +472,7 @@ def infer(
         seq_len=seq_len,
         diffusion_mode=diffusion_mode,
         guidance_scale=guidance_scale,
+        n_steps=n_steps,
     )
     result = np.asarray(strokes[0])
     show_strokes(result, scale=1, name=output, show_output=show)

@@ -1,13 +1,14 @@
 """Production-style serving runtime with continuous batching.
 
     python -m dhg.serve --experiment_path=<run dir> [--port=8008] \
-        [--source=<style image>] [--warmup_buckets=200,400]
+        [--source=<style image>] [--warmup_buckets=200,400] \
+        [--warm_steps=30] [--warm_modes=new,standard,ddim]
 
 Loads the model once, precompiles the sampler for a set of sequence-length
 buckets (so first requests don't pay compile latency), then serves:
 
   POST /generate   {"prompt": str, "seed": int?, "diffusion_mode": str?,
-                    "guidance_scale": float?}
+                    "guidance_scale": float?, "n_steps": int?}
       -> {"strokes": [[dx, dy, pen], ...], "seq_len": int, "ms": float}
   GET  /healthz    -> {"ok": true, "buckets": [...], "stats": {...}}
 
@@ -23,6 +24,17 @@ numerics (XLA re-tiles reductions per batch shape, ~1e-5 drift over the
 Batch sizes are padded to powers of two to bound the compile cache; prompts
 longer than every warmed bucket clamp to the largest warmed bucket (the
 model is length-agnostic) so live requests never compile.
+
+Fewer-step sampling: a request may pass "n_steps" (strided sub-schedule,
+dhg.core.schedule.strided_beta_set — ~60/k speedup at fidelity cost
+measured in PERFORMANCE.md). Every distinct n_steps is a distinct scan
+length, i.e. a distinct compiled program per (bucket, batch, mode), so
+the server only accepts values in its warmed allowlist (--warm_steps,
+default just the canonical 60) and rejects others with 400 — keeping the
+no-live-compile guarantee intact rather than letting one exotic request
+head-of-line-block the batcher for a multi-minute remote compile.
+diffusion_mode is allowlisted the same way (--warm_modes, default
+new+standard; add "ddim" to serve the deterministic DDIM sampler).
 
 Capability superset of the reference (which has no serving path at all).
 """
@@ -55,6 +67,7 @@ class _Pending:
     mode: str
     guidance: float | None
     bucket: int
+    n_steps: int | None = None  # None = canonical 60-step schedule
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     seq_len: int = 0
@@ -63,8 +76,9 @@ class _Pending:
     def group_key(self):
         # Bucket is part of the key: a request's noise stream depends on the
         # sequence length it samples at, so co-batching across buckets would
-        # break the solo-vs-batched determinism contract.
-        return (self.mode, self.guidance, self.bucket)
+        # break the solo-vs-batched determinism contract. n_steps changes
+        # both the program (scan length) and the noise draw count.
+        return (self.mode, self.guidance, self.bucket, self.n_steps)
 
 
 class GenerationService:
@@ -88,6 +102,15 @@ class GenerationService:
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.buckets: list[int] = []
+        # n_steps values accepted from requests. None = the canonical
+        # 60-step schedule, always allowed. Extra values land here via
+        # warmup(steps=...) AFTER their programs are compiled.
+        self.allowed_steps: set[int | None] = {None}
+        # Diffusion modes accepted from requests; filled by warmup().
+        # Mode is a STATIC jit arg, so an arbitrary mode string would
+        # compile a fresh program (identical to "new" — unknown modes
+        # fall through) mid-request. Empty = no warmup ran, accept all.
+        self.allowed_modes: set[str] = set()
         self.stats = {
             "requests": 0,
             "batches": 0,
@@ -149,7 +172,7 @@ class GenerationService:
         return n
 
     def warmup(self, buckets: list[int], modes: tuple[str, ...] = ("new", "standard"),
-               guided: bool = False) -> None:
+               guided: bool = False, steps: tuple[int, ...] = ()) -> None:
         """Precompile every (bucket, padded batch size, mode) sampler program
         so no live request — solo or co-batched — pays compile latency for a
         warmed variant. Round-2 measurement: without the batch-size warmup,
@@ -172,25 +195,36 @@ class GenerationService:
         combination; it defaults off since the guided program roughly
         doubles compile count. A request hitting an un-warmed variant pays
         a one-time compile (head-of-line for the batcher) — the program is
-        cached afterwards."""
+        cached afterwards.
+
+        steps: extra fewer-step n_steps values to warm and thereafter
+        accept from requests (each multiplies the program count by the
+        bucket x mode x batch grid, hence opt-in and empty by default)."""
+        from dhg.core.schedule import N_STEPS
+
         scales = [None] + ([2.0] if guided else [])
+        steps_values = [None] + sorted({int(s) for s in steps} - {N_STEPS})
         self._warming = True
         try:
             for seq_len in buckets:
                 for mode in modes:
                     for g in scales:
-                        for b in BATCH_SIZES:
-                            group = [
-                                _Pending([3, 1], i, mode, g, seq_len) for i in range(b)
-                            ]
-                            with self._cv:
-                                self._queue.extend(group)
-                                self._cv.notify_all()
-                            for p in group:
-                                p.done.wait()
-                                if p.error is not None:
-                                    raise p.error
+                        for k in steps_values:
+                            for b in BATCH_SIZES:
+                                group = [
+                                    _Pending([3, 1], i, mode, g, seq_len, n_steps=k)
+                                    for i in range(b)
+                                ]
+                                with self._cv:
+                                    self._queue.extend(group)
+                                    self._cv.notify_all()
+                                for p in group:
+                                    p.done.wait()
+                                    if p.error is not None:
+                                        raise p.error
                 self.buckets.append(seq_len)
+            self.allowed_steps.update(steps_values)
+            self.allowed_modes.update(modes)
         finally:
             self._warming = False
         with self._cv:  # warmup traffic is not serving traffic
@@ -201,7 +235,8 @@ class GenerationService:
 
     # -- the batched sampler call --------------------------------------------
 
-    def _run_bucket(self, token_lists, seeds, seq_len, mode, guidance) -> np.ndarray:
+    def _run_bucket(self, token_lists, seeds, seq_len, mode, guidance,
+                    n_steps=None) -> np.ndarray:
         """ONE sampler program for a group of requests sharing a bucket."""
         from dhg.inference import generate
 
@@ -225,6 +260,7 @@ class GenerationService:
             diffusion_mode=mode,
             guidance_scale=guidance,
             sample_keys=keys,
+            n_steps=n_steps,
         )
         return np.asarray(out[:n])
 
@@ -263,6 +299,7 @@ class GenerationService:
                 bucket,
                 group[0].mode,
                 group[0].guidance,
+                n_steps=group[0].n_steps,
             )
             ms = (time.perf_counter() - t0) * 1000
             if ms > self.slow_ms and not self._warming:
@@ -298,16 +335,35 @@ class GenerationService:
         seed: int = 0,
         diffusion_mode: str = "new",
         guidance_scale: float | None = None,
+        n_steps: int | None = None,
     ) -> tuple[np.ndarray, int, float]:
         tokens = self.tokenizer.encode(prompt)
         if len(tokens) > self.max_text_len:
             raise ValueError(f"prompt too long ({len(tokens)} tokens > {self.max_text_len})")
+        if self.allowed_modes and diffusion_mode not in self.allowed_modes:
+            raise ValueError(
+                f"diffusion_mode={diffusion_mode!r} not warmed (allowed: "
+                f"{sorted(self.allowed_modes)}); start the server with "
+                "--warm_modes to enable it"
+            )
+        if n_steps is not None:
+            from dhg.core.schedule import N_STEPS
+
+            n_steps = int(n_steps)
+            if n_steps == N_STEPS:
+                n_steps = None  # canonical schedule; shares the default program
+            elif n_steps not in self.allowed_steps:
+                raise ValueError(
+                    f"n_steps={n_steps} not warmed (allowed: "
+                    f"{sorted(s for s in self.allowed_steps if s)} + {N_STEPS}); "
+                    "start the server with --warm_steps to enable it"
+                )
         bucket = self.bucket_for(len(tokens))
         # A prompt longer than every warmed bucket clamps (bucket_for): the
         # output is capped at the bucket length, i.e. the line may stop
         # mid-text. Surface that instead of returning a silently-short 200.
         truncated = bucket < infer_seq_len(len(tokens))
-        req = _Pending(tokens, seed, diffusion_mode, guidance_scale, bucket)
+        req = _Pending(tokens, seed, diffusion_mode, guidance_scale, bucket, n_steps)
         t0 = time.perf_counter()
         with self._cv:
             self._queue.append(req)
@@ -335,6 +391,8 @@ def make_handler(service: GenerationService):
                 self._send(
                     200,
                     {"ok": True, "buckets": sorted(service.buckets),
+                     "warm_steps": sorted(s for s in service.allowed_steps if s),
+                     "warm_modes": sorted(service.allowed_modes),
                      "stats": service.stats_snapshot()},
                 )
             else:
@@ -353,6 +411,7 @@ def make_handler(service: GenerationService):
                     seed=int(req.get("seed", 0)),
                     diffusion_mode=req.get("diffusion_mode", "new"),
                     guidance_scale=req.get("guidance_scale"),
+                    n_steps=req.get("n_steps"),
                 )
                 self._send(
                     200,
@@ -378,8 +437,10 @@ def make_handler(service: GenerationService):
 
 
 def serve(service: GenerationService, port: int = 8008, warmup_buckets=(200, 400),
-          warmup_modes: tuple[str, ...] = ("new", "standard"), warmup_guided: bool = False):
-    service.warmup(list(warmup_buckets), modes=warmup_modes, guided=warmup_guided)
+          warmup_modes: tuple[str, ...] = ("new", "standard"), warmup_guided: bool = False,
+          warm_steps: tuple[int, ...] = ()):
+    service.warmup(list(warmup_buckets), modes=warmup_modes, guided=warmup_guided,
+                   steps=warm_steps)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
     return httpd
 
@@ -394,7 +455,14 @@ def main(argv=None):
         kw["experiment_path"], source=kw.get("source")
     )
     buckets = [int(b) for b in str(kw.get("warmup_buckets", "200,400")).split(",")]
-    httpd = serve(service, port=int(kw.get("port", 8008)), warmup_buckets=buckets)
+    warm_steps = tuple(
+        int(s) for s in str(kw.get("warm_steps", "")).split(",") if s.strip()
+    )
+    warm_modes = tuple(
+        m.strip() for m in str(kw.get("warm_modes", "new,standard")).split(",") if m.strip()
+    )
+    httpd = serve(service, port=int(kw.get("port", 8008)), warmup_buckets=buckets,
+                  warmup_modes=warm_modes, warm_steps=warm_steps)
     print(f"dhg serving on 127.0.0.1:{httpd.server_address[1]} (buckets {buckets})")
     httpd.serve_forever()
 

@@ -74,9 +74,10 @@ def measure(batch: int, hoist: str, iters: int = 4) -> dict:
 def main():
     kv = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:] if "=" in a)
     batches = [int(b) for b in kv.get("batches", "256,512,768").split(",")]
+    hoists = kv.get("hoist", "full,compact").split(",")
     grid = []
     for b in batches:
-        for hoist in ("full", "compact"):
+        for hoist in hoists:
             r = measure(b, hoist)
             print(r, flush=True)
             grid.append(r)

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dhg.core.sampling import (
+    ddim_step,
     diffusion_sample,
     infer_seq_len,
     new_diffusion_step,
@@ -43,6 +44,66 @@ def test_new_step_math():
     out = new_diffusion_step(xt, eps, beta, alpha, a_next, noise)
     expected = (1 - np.sqrt(0.4) * 0.5) / np.sqrt(0.9) + np.sqrt(0.2)
     assert np.allclose(np.asarray(out), expected, rtol=1e-6)
+
+
+def test_ddim_step_math():
+    xt = jnp.ones((1, 4, 2))
+    eps = jnp.full((1, 4, 2), 0.5)
+    alpha, a_prev = jnp.float32(0.6), jnp.float32(0.8)
+    out = ddim_step(xt, eps, alpha, a_prev)
+    x0_hat = (1 - np.sqrt(0.4) * 0.5) / np.sqrt(0.6)
+    expected = np.sqrt(0.8) * x0_hat + np.sqrt(0.2) * 0.5
+    assert np.allclose(np.asarray(out), expected, rtol=1e-6)
+    # At the final step (abar_prev = 1) the update IS the x0 estimate.
+    out_final = ddim_step(xt, eps, alpha, jnp.float32(1.0))
+    assert np.allclose(np.asarray(out_final), x0_hat, rtol=1e-6)
+
+
+def test_ddim_ignores_step_noise():
+    """DDIM (eta=0) injects no noise after x_T: with a denoiser whose
+    prediction depends only on x, the trajectory from a fixed x0 is a
+    deterministic function — and with eps_hat = 0 it telescopes to the
+    closed form x_final = x0 / sqrt(alpha_bar_T)."""
+    from dhg.core.schedule import get_alpha_set
+
+    zero_eps = lambda x, sigma: (jnp.zeros_like(x), jnp.zeros(x.shape[:2]))
+    key = jax.random.PRNGKey(5)
+    out = diffusion_sample(zero_eps, key, 2, 24, mode="ddim")
+    x0 = jax.random.normal(jax.random.split(key)[0], (2, 24, 2))
+    expected = np.asarray(x0) / np.sqrt(np.asarray(get_alpha_set())[-1])
+    np.testing.assert_allclose(
+        np.asarray(out[..., :2]), expected, rtol=2e-4, atol=1e-3
+    )
+
+
+def test_ddim_exact_on_strided_schedule():
+    """The DDIM update only consumes (abar_i, abar_prev) pairs, so with a
+    denoiser that depends only on x (not sigma), running it on the strided
+    sub-schedule visits the SAME x values the 60-step DDIM trajectory has
+    at the kept levels — exact in exact arithmetic whenever eps_hat is
+    level-independent (here: eps_hat = 0 again, where both telescope to
+    x0 / sqrt(abar_T))."""
+    from dhg.core.schedule import get_alpha_set, strided_beta_set
+
+    zero_eps = lambda x, sigma: (jnp.zeros_like(x), jnp.zeros(x.shape[:2]))
+    key = jax.random.PRNGKey(9)
+    full = np.asarray(diffusion_sample(zero_eps, key, 1, 24, mode="ddim"))
+    strided = np.asarray(
+        diffusion_sample(
+            zero_eps, key, 1, 24, beta_set=strided_beta_set(10), mode="ddim"
+        )
+    )
+    np.testing.assert_allclose(strided[..., :2], full[..., :2], rtol=2e-4, atol=1e-3)
+
+
+def test_ddim_mode_differs_from_others():
+    key = jax.random.PRNGKey(0)
+    a = diffusion_sample(_dummy_denoiser, key, 1, 24, mode="ddim")
+    b = diffusion_sample(_dummy_denoiser, key, 1, 24, mode="new")
+    c = diffusion_sample(_dummy_denoiser, key, 1, 24, mode="standard")
+    assert not np.allclose(np.asarray(a[..., :2]), np.asarray(b[..., :2]))
+    assert not np.allclose(np.asarray(a[..., :2]), np.asarray(c[..., :2]))
+    assert np.all(np.isfinite(np.asarray(a)))
 
 
 def _dummy_denoiser(x, sigma):

@@ -25,7 +25,9 @@ def server():
         jnp.zeros((1, 14, 1280)),
     )["params"]
     service = GenerationService(model, params, jnp.zeros((1, 14, 1280)))
-    httpd = serve(service, port=0, warmup_buckets=[104])  # port 0: ephemeral
+    # port 0: ephemeral. warm_steps=(30,) also warms + allowlists the
+    # 30-step strided programs (fewer-step serving tests below).
+    httpd = serve(service, port=0, warmup_buckets=[104], warm_steps=(30,))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -109,11 +111,12 @@ def test_warmup_runs_on_batcher_thread_and_resets_stats(server):
         stats = json.loads(r.read())["stats"]
     for field in ("last_batch_ms", "max_batch_ms", "slow_batches"):
         assert field in stats, stats
-    # Warmup ran 2 modes x 5 batch sizes (31 requests/mode) through the
-    # queue before any test request; if those leaked into stats, requests
-    # would be >= 62 already. (Other tests in this module run first —
-    # bound rather than pin. slow_batches is deliberately NOT asserted
-    # zero: a loaded CI host can push a warm CPU batch past slow_ms.)
+    # Warmup ran 2 modes x 2 steps x 5 batch sizes (31 requests per
+    # mode/steps combo = 124 total) through the queue before any test
+    # request; if those leaked into stats, requests would be >= 124
+    # already. (Other tests in this module run first — bound rather than
+    # pin. slow_batches is deliberately NOT asserted zero: a loaded CI
+    # host can push a warm CPU batch past slow_ms.)
     assert stats["requests"] < 30
 
 
@@ -134,6 +137,51 @@ def test_guided_requests_work_at_any_scale(server):
     s2, b2 = _post(server + "/generate", {"prompt": "abc", "guidance_scale": 4.0, "seed": 5})
     assert s1 == s2 == 200
     assert b1["strokes"] != b2["strokes"]
+
+
+def test_healthz_reports_warm_steps(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["warm_steps"] == [30]
+
+
+def test_fewer_step_request_served_when_warmed(server):
+    """n_steps=30 was warmed: the request runs the 30-call strided program
+    and its trajectory genuinely differs from the 60-step default."""
+    s60, b60 = _post(server + "/generate", {"prompt": "abc", "seed": 21})
+    s30, b30 = _post(server + "/generate", {"prompt": "abc", "seed": 21, "n_steps": 30})
+    assert s60 == s30 == 200
+    strokes = np.asarray(b30["strokes"])
+    # "abc" -> 4 tokens -> trim length 72 (16*4+8), same as the 60-step path.
+    assert strokes.shape == np.asarray(b60["strokes"]).shape == (72, 3)
+    assert np.all(np.isfinite(strokes))
+    assert b30["strokes"] != b60["strokes"]
+
+
+def test_canonical_n_steps_always_allowed(server):
+    """n_steps=60 normalizes to the default schedule (bit-identical strokes,
+    same compiled program) without needing to be in the warm list."""
+    _, b_default = _post(server + "/generate", {"prompt": "abc", "seed": 22})
+    status, b60 = _post(server + "/generate", {"prompt": "abc", "seed": 22, "n_steps": 60})
+    assert status == 200
+    assert b60["strokes"] == b_default["strokes"]
+
+
+def test_unwarmed_mode_rejected_400(server):
+    """diffusion_mode is a STATIC jit arg — an un-warmed mode string would
+    compile a fresh program mid-request, so it is rejected up front."""
+    status, body = _post(server + "/generate", {"prompt": "abc", "diffusion_mode": "ddim"})
+    assert status == 400
+    assert "not warmed" in body["error"]
+
+
+def test_unwarmed_n_steps_rejected_400(server):
+    """The no-live-compile guarantee: an n_steps outside the warmed
+    allowlist is rejected up front, never head-of-line-blocking the
+    batcher with a fresh compile."""
+    status, body = _post(server + "/generate", {"prompt": "abc", "n_steps": 15})
+    assert status == 400
+    assert "not warmed" in body["error"]
 
 
 def test_unknown_route_404(server):
