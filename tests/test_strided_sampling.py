@@ -86,6 +86,28 @@ def test_generate_n_steps_60_matches_default_bitwise(tiny):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(sixty))
 
 
+def test_guidance_composes_with_ddim_and_n_steps(tiny):
+    """guidance_scale wraps the denoiser BEFORE the step-rule dispatch
+    (inference.py::_sample_jit), so CFG composes with both the ddim rule
+    and the strided schedule: the guided run is deterministic and genuinely
+    different from the unguided one."""
+    model, params, text, style = tiny
+    key = jax.random.PRNGKey(13)
+    kw = dict(seq_len=24, diffusion_mode="ddim", n_steps=15)
+    guided = generate(
+        model, params, text, style, key, guidance_scale=2.0, **kw
+    )
+    guided2 = generate(
+        model, params, text, style, key, guidance_scale=2.0, **kw
+    )
+    unguided = generate(model, params, text, style, key, **kw)
+    np.testing.assert_array_equal(np.asarray(guided), np.asarray(guided2))
+    assert not np.allclose(
+        np.asarray(guided[..., :2]), np.asarray(unguided[..., :2])
+    )
+    assert np.all(np.isfinite(np.asarray(guided)))
+
+
 def test_strided_tracks_full_on_tiny_model(tiny):
     """30-step output stays in the same ballpark as the 60-step one.
 
