@@ -65,12 +65,14 @@ class AsyncSaver:
             finally:
                 self._q.task_done()
 
-    def submit(self, path, params, opt_state=None, **kwargs):
+    def submit(self, path, params, opt_state=None, ema_params=None, **kwargs):
         # Snapshot to host numpy NOW: the train loop donates these buffers
         # to the next step, so reading them later from the worker thread
         # would hit invalidated memory.
         if opt_state is not None:
             kwargs["opt_state"] = _to_numpy(opt_state)
+        if ema_params is not None:
+            kwargs["ema_params"] = _to_numpy(ema_params)
         self._q.put((path, {"params": _to_numpy(params), **kwargs}))
 
     def wait(self):
@@ -104,11 +106,14 @@ def save_checkpoint(
     opt_state: Any = None,
     step: int | None = None,
     meta: dict | None = None,
+    ema_params: Any = None,
 ) -> None:
     """Save a checkpoint directory at `path`."""
     import flax.serialization
 
     payload: dict[str, Any] = {"params": _to_numpy(params)}
+    if ema_params is not None:
+        payload["ema_params"] = _to_numpy(ema_params)
     if opt_state is not None:
         # Optimizer state is a nested tuple pytree; orbax would round-trip
         # tuples as lists, so serialize through flax's state-dict form and
@@ -174,6 +179,7 @@ def load_model(
     dtype=None,
     strict: bool = True,
     cfg_options: dict | None = None,
+    use_ema: bool = True,
 ):
     """Reconstruct the DiffusionModel from a run's config.yml and weights.
 
@@ -182,6 +188,12 @@ def load_model(
     default device. Key mismatches are reported like the reference's
     verbose loader (raise when strict, warn otherwise). cfg_options applies
     dotted-path overrides on the loaded config (reference parity).
+
+    use_ema: when the checkpoint carries an EMA shadow of the params
+    (training_args.ema_decay — a capability superset, the reference has no
+    EMA) the EMA weights are preferred for inference, which is what EMA is
+    for. False forces the raw training params. Checkpoints without EMA are
+    unaffected either way.
     """
     import jax.numpy as jnp
 
@@ -193,6 +205,9 @@ def load_model(
         cfg = DLConfig(update_config(cfg.to_dict(), cfg_options))
     model = DiffusionModel.from_config(cfg.training_args, dtype=dtype)
     restored = load_checkpoint(checkpoint_path)
+    if use_ema and "ema_params" in restored:
+        logger.info("Using EMA parameters from %s", checkpoint_path)
+        restored = dict(restored, params=restored["ema_params"])
 
     t = cfg.dataset_args.max_seq_len or 480
     expected = jax.eval_shape(

@@ -74,6 +74,48 @@ def strided_beta_set(
     return 1.0 - abar / prev
 
 
+def halve_beta_set(base: jnp.ndarray) -> jnp.ndarray:
+    """One progressive-distillation halving of a beta table (superset).
+
+    Construction (Salimans & Ho 2022, "Progressive Distillation for Fast
+    Sampling of Diffusion Models"): take the EXTENDED level array
+    L = [1.0, abar_0, ..., abar_{N-1}] (the N+1 alpha_bar levels a sampler
+    actually visits, clean end included) and keep every second point —
+    so one student step spans exactly two teacher steps, endpoints
+    preserved. Requires even N. The returned table's cumprod(1 - beta)
+    reproduces the kept levels exactly; betas absorb the skipped factors.
+
+    Note this differs from strided_beta_set: striding keeps index-linspace
+    levels of the CANONICAL table (right for zero-training fewer-step
+    sampling), halving keeps the exact 2-for-1 alignment a distilled
+    student was trained on (dhg/distill.py).
+    """
+    n = base.shape[0]
+    if n % 2 != 0:
+        raise ValueError(f"halving needs an even step count, got {n}")
+    abar = get_alpha_set(base)
+    levels = jnp.concatenate([jnp.ones((1,), abar.dtype), abar])[::2]
+    return 1.0 - levels[1:] / levels[:-1]
+
+
+def halved_beta_set(n_steps: int, base: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The beta table after halving `base` (default canonical 60) down to
+    n_steps — the schedule a progressively-distilled student runs on.
+    n_steps must be reachable by repeated halving (60 -> 30 -> 15)."""
+    beta = get_beta_set() if base is None else base
+    while beta.shape[0] > n_steps:
+        if beta.shape[0] % 2 != 0:
+            raise ValueError(
+                f"{n_steps} steps is not reachable by halving from "
+                f"{(base if base is not None else get_beta_set()).shape[0]} "
+                f"(stuck at odd {beta.shape[0]})"
+            )
+        beta = halve_beta_set(beta)
+    if beta.shape[0] != n_steps:
+        raise ValueError(f"halving overshot: wanted {n_steps}, hit {beta.shape[0]}")
+    return beta
+
+
 def sample_alphas(key: jax.Array, batch_size: int, alpha_set: jnp.ndarray) -> jnp.ndarray:
     """Continuously sample alpha_bar values for a training batch.
 

@@ -270,6 +270,7 @@ def generate(
     sample_keys: jax.Array | None = None,
     hoist: str | None = None,
     n_steps: int | None = None,
+    schedule: str = "strided",
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
 
@@ -280,6 +281,12 @@ def generate(
     fidelity vs the 60-step trajectory is measured in PERFORMANCE.md
     ("Fewer-step sampling") — this is an opt-in superset, not a parity
     path.
+
+    schedule: how n_steps coarsens the beta table — "strided" (default;
+    index-linspace levels, right for an undistilled model) or "halved"
+    (repeated 2-for-1 halving, the exact grid a progressively-distilled
+    student was trained on — dhg/distill.py; n_steps must be reachable by
+    halving: 30 or 15 from 60).
 
     diffusion_mode: "new" (reference default) | "standard" (DDPM
     ancestral) | "ddim" (deterministic DDIM, capability superset — exact
@@ -311,13 +318,18 @@ def generate(
         hoist = "compact"
     beta_set = None
     if n_steps is not None:
-        from dhg.core.schedule import N_STEPS, strided_beta_set
+        from dhg.core.schedule import N_STEPS, halved_beta_set, strided_beta_set
 
         # n_steps == 60 yields the canonical table bit-identically, but
         # pass None so the jit cache key (a None literal) is shared with
         # callers that never heard of n_steps.
         if n_steps != N_STEPS:
-            beta_set = strided_beta_set(n_steps)
+            if schedule == "halved":
+                beta_set = halved_beta_set(n_steps)
+            elif schedule == "strided":
+                beta_set = strided_beta_set(n_steps)
+            else:
+                raise ValueError(f"unknown schedule {schedule!r}")
     if seq_len is None:
         # Longest prompt in the batch sets the bucket.
         lengths = np.asarray((text != 0).sum(axis=1))
@@ -358,6 +370,7 @@ def sample_lines(
     encoder_reuse: int | None = None,
     mesh=None,
     n_steps: int | None = None,
+    schedule: str = "strided",
 ) -> list[np.ndarray]:
     """Batched varied-length sampling (BASELINE config 2).
 
@@ -383,6 +396,7 @@ def sample_lines(
         encoder_reuse=encoder_reuse,
         mesh=mesh,
         n_steps=n_steps,
+        schedule=schedule,
     )
     arr = np.asarray(out)
     return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
@@ -415,21 +429,33 @@ def infer(
     checkpoint_path: str | None = None,
     experiment_path: str | None = None,
     output: str = "result",
-    diffusion_mode: str = "new",
+    diffusion_mode: str | None = None,
     seed: int = 0,
     show: bool = False,
     guidance_scale: float | None = None,
     style_weights: str | None = None,
     strict_style: bool = False,
     n_steps: int | None = None,
+    use_ema: bool = True,
+    schedule: str | None = None,
 ) -> np.ndarray:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
 
     style_weights: MobileNetV2 .npz path; falls back to the experiment
     config's dataset_args.style_weights, then the repo default.
 
-    n_steps: optional fewer-step sampling (strided sub-schedule, see
-    generate()); default None = the reference's 60-step loop.
+    n_steps: optional fewer-step sampling; default None = the reference's
+    60-step loop — UNLESS the checkpoint is a progressively-distilled
+    student (config training_args.distilled_steps, dhg/distill.py), in
+    which case the defaults become the student's own grid: n_steps =
+    distilled_steps, schedule = "halved", diffusion_mode = "ddim" (what it
+    was trained for). Explicit flags always win.
+
+    schedule: "strided" (undistilled fewer-step default) | "halved"
+    (distilled grids); None picks automatically as above.
+
+    use_ema: prefer the checkpoint's EMA weights when present (see
+    dhg.checkpoint.load_model); --use_ema=False forces raw params.
     """
     if experiment_path:
         exp = Path(experiment_path)
@@ -446,13 +472,29 @@ def infer(
             "either directly or via experiment_path."
         )
 
-    model, params = load_model(config_path, checkpoint_path)
+    model, params = load_model(config_path, checkpoint_path, use_ema=use_ema)
 
+    from dhg.config import DLConfig
+
+    cfg = DLConfig.load(config_path)
     if style_weights is None:
-        from dhg.config import DLConfig
-
-        cfg = DLConfig.load(config_path)
         style_weights = cfg.dataset_args.style_weights
+
+    # Distilled-student defaults (explicit flags always win): sample on the
+    # student's own halved grid with the deterministic DDIM rule it was
+    # trained to be exact on (dhg/distill.py).
+    distilled = cfg.training_args.distilled_steps
+    if distilled:
+        if n_steps is None:
+            n_steps = int(distilled)
+        if schedule is None:
+            schedule = "halved"
+        if diffusion_mode is None:
+            diffusion_mode = "ddim"
+    if diffusion_mode is None:
+        diffusion_mode = "new"  # the reference default
+    if schedule is None:
+        schedule = "strided"
 
     tokenizer = Tokenizer()
     encoded = tokenizer.encode(prompt)
@@ -473,6 +515,7 @@ def infer(
         diffusion_mode=diffusion_mode,
         guidance_scale=guidance_scale,
         n_steps=n_steps,
+        schedule=schedule,
     )
     result = np.asarray(strokes[0])
     show_strokes(result, scale=1, name=output, show_output=show)

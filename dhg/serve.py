@@ -36,6 +36,12 @@ head-of-line-block the batcher for a multi-minute remote compile.
 diffusion_mode is allowlisted the same way (--warm_modes, default
 new+standard; add "ddim" to serve the deterministic DDIM sampler).
 
+Distilled checkpoints (dhg/distill.py): when the experiment's config
+carries training_args.distilled_steps, n_steps requests coarsen on the
+"halved" grid the student was trained on (not "strided"), unspecified
+requests default to (n_steps=distilled_steps, ddim), and main() auto-warms
+both — so serving a student is the same one-liner as serving a teacher.
+
 Capability superset of the reference (which has no serving path at all).
 """
 
@@ -101,6 +107,12 @@ class GenerationService:
         self.max_text_len = max_text_len
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
+        # How n_steps coarsens the schedule: "strided" for ordinary models,
+        # "halved" for progressively-distilled students (set by
+        # from_experiment from config training_args.distilled_steps — a
+        # property of the checkpoint, not of individual requests).
+        self.schedule = "strided"
+        self.distilled_steps: int | None = None
         self.buckets: list[int] = []
         # n_steps values accepted from requests. None = the canonical
         # 60-step schedule, always allowed. Extra values land here via
@@ -143,7 +155,14 @@ class GenerationService:
             style = style_from_image(source)
         else:
             style = jnp.zeros((1, 14, 1280))
-        return cls(model, params, style)
+        service = cls(model, params, style)
+        from dhg.config import DLConfig
+
+        cfg = DLConfig.load(exp / "config.yml")
+        if cfg.training_args.distilled_steps:
+            service.schedule = "halved"
+            service.distilled_steps = int(cfg.training_args.distilled_steps)
+        return service
 
     # -- bucketing ----------------------------------------------------------
 
@@ -261,6 +280,7 @@ class GenerationService:
             guidance_scale=guidance,
             sample_keys=keys,
             n_steps=n_steps,
+            schedule=self.schedule,
         )
         return np.asarray(out[:n])
 
@@ -333,10 +353,17 @@ class GenerationService:
         self,
         prompt: str,
         seed: int = 0,
-        diffusion_mode: str = "new",
+        diffusion_mode: str | None = None,
         guidance_scale: float | None = None,
         n_steps: int | None = None,
     ) -> tuple[np.ndarray, int, float]:
+        # Distilled-student serving defaults (mirrors dhg.inference.infer):
+        # an unspecified request samples on the student's own halved grid
+        # with the DDIM rule it was trained for. Explicit fields win.
+        if diffusion_mode is None:
+            diffusion_mode = "ddim" if self.distilled_steps else "new"
+        if n_steps is None and self.distilled_steps:
+            n_steps = self.distilled_steps
         tokens = self.tokenizer.encode(prompt)
         if len(tokens) > self.max_text_len:
             raise ValueError(f"prompt too long ({len(tokens)} tokens > {self.max_text_len})")
@@ -409,7 +436,7 @@ def make_handler(service: GenerationService):
                 strokes, seq_len, ms, truncated = service.generate_line(
                     prompt,
                     seed=int(req.get("seed", 0)),
-                    diffusion_mode=req.get("diffusion_mode", "new"),
+                    diffusion_mode=req.get("diffusion_mode"),
                     guidance_scale=req.get("guidance_scale"),
                     n_steps=req.get("n_steps"),
                 )
@@ -461,6 +488,13 @@ def main(argv=None):
     warm_modes = tuple(
         m.strip() for m in str(kw.get("warm_modes", "new,standard")).split(",") if m.strip()
     )
+    if service.distilled_steps:
+        # A distilled student's serving defaults are its own halved grid +
+        # DDIM (generate_line) — warm them so the defaults never compile live.
+        if service.distilled_steps not in warm_steps:
+            warm_steps = warm_steps + (service.distilled_steps,)
+        if "ddim" not in warm_modes:
+            warm_modes = warm_modes + ("ddim",)
     httpd = serve(service, port=int(kw.get("port", 8008)), warmup_buckets=buckets,
                   warmup_modes=warm_modes, warm_steps=warm_steps)
     print(f"dhg serving on 127.0.0.1:{httpd.server_address[1]} (buckets {buckets})")

@@ -48,6 +48,9 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Exponential moving average of params (training_args.ema_decay > 0);
+    # None when EMA is off (the reference default — it has no EMA at all).
+    ema_params: Any = None
 
 
 def noam_schedule(d_model: int, warmup_steps: int, lr_mul: float = 1.0):
@@ -112,6 +115,11 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         self.batch_size = ta.batch_size
         self.alpha_set = get_alpha_set()
+        # EMA of params (capability superset — standard practice for
+        # diffusion models; the reference has none). 0/None = off.
+        self.ema_decay = float(ta.ema_decay or 0.0)
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in [0, 1), got {self.ema_decay}")
 
         if mesh is None:
             mesh_cfg = ta.mesh if isinstance(ta.mesh, dict) else {}
@@ -147,7 +155,16 @@ class Trainer:
             shardings = param_shardings(params, self.mesh)
             params = jax.tree.map(jax.device_put, params, shardings)
         opt_state = self.tx.init(params)
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+        # EMA starts as a distinct COPY of params: the jitted step donates
+        # the whole state, and aliased leaves across params/ema_params would
+        # double-donate the same buffers.
+        ema = jax.tree.map(jnp.copy, params) if self.ema_decay else None
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+        )
 
     # -- data ----------------------------------------------------------------
 
@@ -229,6 +246,7 @@ class Trainer:
         batch_spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
 
         cond_dropout = float(self.cfg.training_args.cond_dropout or 0.0)
+        ema_decay = self.ema_decay
         from dhg.data.pipeline import gather_batch
 
         def step(state: TrainState, key: jax.Array, arrays):
@@ -271,7 +289,17 @@ class Trainer:
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            if ema_decay:
+                ema = jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    state.ema_params,
+                    params,
+                )
+            else:
+                ema = state.ema_params  # None when EMA is off
+            new_state = TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+            )
             metrics = jnp.stack([total, score, pen_loss])
             return new_state, metrics
 
@@ -334,8 +362,20 @@ class Trainer:
                 state.opt_state, restored["opt_state"]
             )
             opt_state = jax.tree.map(jnp.asarray, opt_state)
+        ema = None
+        if self.ema_decay:
+            # Restore the EMA shadow when the checkpoint carries one; a
+            # checkpoint from a pre-EMA run restarts the average from the
+            # resumed params (jnp.copy: donation-safe, no aliasing).
+            src = restored.get("ema_params", restored["params"])
+            ema = jax.tree.map(lambda x: jnp.copy(jnp.asarray(x)), src)
         return (
-            TrainState(step=jnp.asarray(start, jnp.int32), params=params, opt_state=opt_state),
+            TrainState(
+                step=jnp.asarray(start, jnp.int32),
+                params=params,
+                opt_state=opt_state,
+                ema_params=ema,
+            ),
             start,
         )
 
@@ -469,10 +509,13 @@ class Trainer:
                         opt_state=state.opt_state,
                         step=count + 1,
                         meta={"run_name": meta.get("run_name", "")},
+                        ema_params=state.ema_params,
                     )
 
             logger.info("Training finished, saving model weights.")
-            self.saver.submit(exp_dir / "model_final", state.params)
+            self.saver.submit(
+                exp_dir / "model_final", state.params, ema_params=state.ema_params
+            )
             self.saver.wait()
             logger.info(str(exp_dir / "model_final"))
         except KeyboardInterrupt:
@@ -483,8 +526,9 @@ class Trainer:
                 state.params,
                 opt_state=state.opt_state,
                 step=count,
+                ema_params=state.ema_params,
             )
-            save_checkpoint(exp_dir / "model_last", state.params)
+            save_checkpoint(exp_dir / "model_last", state.params, ema_params=state.ema_params)
         finally:
             # Drain queued async saves even on unexpected exceptions — the
             # saver thread is a daemon, so exiting without this would drop

@@ -1,0 +1,188 @@
+"""Progressive distillation (dhg/distill.py) — capability superset.
+
+Covers: the halved-grid construction, the exact one-step-equals-two-steps
+eps* solver, a tiny end-to-end distillation round (loss decreases), and
+the distilled-student inference path (schedule="halved").
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dhg.config import DLConfig, fit_config
+from dhg.core.sampling import ddim_step
+from dhg.core.schedule import (
+    get_alpha_set,
+    get_beta_set,
+    halve_beta_set,
+    halved_beta_set,
+)
+from dhg.distill import Distiller
+from dhg.train import Trainer
+
+TINY = {
+    "training_args.channels": 32,
+    "training_args.att_layers_num": 1,
+    "training_args.batch_size": 8,
+    "training_args.max_files": 16,
+    "training_args.compute_dtype": "float32",
+    "training_args.warmup_steps": 20,
+    "training_args.clip_grad": 1.0,
+    "dataset_args.max_seq_len": 96,
+    "dataset_args.max_text_len": 20,
+}
+
+
+def _cfg(**overrides):
+    return DLConfig(fit_config(config="smoke.yml", **{**TINY, **overrides}))
+
+
+# -- schedule math ------------------------------------------------------------
+
+
+def test_halved_levels_are_every_second_extended_level():
+    base = get_beta_set()
+    abar = np.asarray(get_alpha_set(base))
+    levels = np.concatenate([[1.0], abar])  # the 61 visited levels
+    half = halve_beta_set(base)
+    assert half.shape == (30,)
+    np.testing.assert_allclose(
+        np.asarray(get_alpha_set(half)), levels[::2][1:], rtol=1e-6
+    )
+    # Noisiest endpoint preserved exactly (same x_T distribution).
+    np.testing.assert_allclose(float(get_alpha_set(half)[-1]), abar[-1], rtol=1e-7)
+
+
+def test_halved_beta_set_reachability():
+    assert halved_beta_set(30).shape == (30,)
+    assert halved_beta_set(15).shape == (15,)
+    assert halved_beta_set(60).shape == (60,)
+    with pytest.raises(ValueError):
+        halved_beta_set(10)  # 15 is odd — 10 unreachable
+    with pytest.raises(ValueError):
+        halve_beta_set(halved_beta_set(15))  # odd table cannot halve
+
+
+def test_eps_star_solver_is_exact():
+    """The solved eps* plugged into one student DDIM step must reproduce the
+    two-teacher-step endpoint x_r exactly (the algebra dhg/distill.py trains
+    against)."""
+    rng = np.random.RandomState(0)
+    xt = jnp.asarray(rng.randn(4, 16, 2).astype(np.float32))
+    xr = jnp.asarray(rng.randn(4, 16, 2).astype(np.float32))
+    a_t = jnp.asarray([[0.3], [0.6], [0.05], [0.9]])[..., None]
+    a_r = jnp.asarray([[0.5], [0.8], [0.2], [1.0]])[..., None]  # incl. final step
+
+    ratio = jnp.sqrt(a_r / a_t)
+    denom = jnp.sqrt(1.0 - a_r) - ratio * jnp.sqrt(1.0 - a_t)
+    eps_star = (xr - ratio * xt) / denom
+    reached = ddim_step(xt, eps_star, a_t, a_r)
+    np.testing.assert_allclose(np.asarray(reached), np.asarray(xr), rtol=1e-4, atol=1e-5)
+
+
+# -- distillation round ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_teacher():
+    cfg = _cfg()
+    trainer = Trainer(cfg)
+    data = trainer.load_dataset()
+    params = trainer.init_state(0).params
+    return cfg, data, params
+
+
+def test_distiller_grid_tables(tiny_teacher):
+    cfg, _, params = tiny_teacher
+    d = Distiller(cfg, params)
+    assert d.teacher_steps == 60 and d.student_steps == 30
+    abar_t = np.asarray(get_alpha_set(halved_beta_set(60)))
+    np.testing.assert_allclose(np.asarray(d.a_in), abar_t[1::2], rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(d.a_mid), abar_t[0::2], rtol=1e-7)
+    assert float(d.a_out[0]) == 1.0
+    np.testing.assert_allclose(np.asarray(d.a_out[1:]), abar_t[1:-2:2], rtol=1e-7)
+    # a_out must be the STUDENT's previous level: a_out[i] == a_in[i-1].
+    np.testing.assert_allclose(np.asarray(d.a_out[1:]), np.asarray(d.a_in[:-1]), rtol=1e-7)
+
+
+def test_distill_step_runs_and_stays_stable():
+    """30 optimizer steps stay finite and non-exploding.
+
+    The per-step loss is intrinsically noisy at toy scale: each batch draws
+    8 random student steps i whose truncated-SNR weights span 1..~3e3, so
+    the loss is dominated by which i land in the batch — a mean-decrease
+    assertion is flaky. The trend check instead uses medians with a 2x
+    allowance: it tolerates sampling noise but catches the divergence this
+    regime shows at aggressive LR (TINY's warmup=20 blew the loss to 1e7;
+    warmup=500 here keeps the Noam LR in a stable range)."""
+    cfg = _cfg(**{"training_args.warmup_steps": 500})
+    trainer = Trainer(cfg)
+    data = trainer.load_dataset()
+    params = trainer.init_state(0).params
+    d = Distiller(cfg, params)
+    state = d.init_state()
+    step = d.make_step_fn(data)
+    losses = []
+    for c in range(30):
+        state, m = step(state, jax.random.fold_in(jax.random.PRNGKey(3), c))
+        losses.append(float(m[0]))
+    assert np.all(np.isfinite(losses))
+    assert np.median(losses[-10:]) < max(np.median(losses[:10]), 1.0) * 2.0
+
+
+def test_second_round_from_distilled_config(tiny_teacher):
+    """A 30-step student distills to 15 via training_args.distilled_steps."""
+    cfg, data, params = tiny_teacher
+    cfg2 = DLConfig(
+        fit_config(config="smoke.yml", **{**TINY, "training_args.distilled_steps": 30})
+    )
+    d = Distiller(cfg2, params)
+    assert d.teacher_steps == 30 and d.student_steps == 15
+    state = d.init_state()
+    step = d.make_step_fn(data)
+    _, m = step(state, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(m)))
+
+
+def test_invalid_student_steps_rejected(tiny_teacher):
+    cfg, _, params = tiny_teacher
+    with pytest.raises(ValueError):
+        Distiller(cfg, params, student_steps=20)  # not a 2-for-1 halving
+
+
+# -- inference on the halved grid ---------------------------------------------
+
+
+def test_generate_halved_schedule(tiny_teacher):
+    cfg, _, params = tiny_teacher
+    from dhg.inference import generate
+
+    trainer = Trainer(cfg)
+    text = jnp.zeros((2, 20), jnp.int32).at[:, :4].set(7).at[:, 4].set(1)
+    style = jnp.zeros((2, 14, 1280))
+    out = generate(
+        trainer.model,
+        params,
+        text,
+        style,
+        jax.random.PRNGKey(5),
+        seq_len=24,
+        diffusion_mode="ddim",
+        n_steps=15,
+        schedule="halved",
+    )
+    assert out.shape == (2, 24, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    with pytest.raises(ValueError):
+        generate(
+            trainer.model,
+            params,
+            text,
+            style,
+            jax.random.PRNGKey(5),
+            seq_len=24,
+            n_steps=15,
+            schedule="bogus",
+        )
