@@ -75,12 +75,22 @@ def test_ema_tracks_manual_average():
 
 def test_ema_through_chunked_scan_matches_per_step():
     """The lax.scan chunk path must produce the same EMA as K per-step calls
-    (bit-identical keys via fold_in, same update rule)."""
-    t1 = _trainer(**{"training_args.ema_decay": DECAY})
+    (bit-identical keys via fold_in, same update rule).
+
+    Runs at a MODERATE warmup (not TINY's warmup=10): scan vs eager compiles
+    reorder float math, and at near-peak Noam LR the ~1e-7 rounding gap
+    amplifies chaotically through Adam within 4 steps (measured: leaves off
+    by the full update magnitude). warmup=200 keeps per-step updates
+    ~2e-4 — large enough that a chunk path which silently skipped the EMA
+    update would miss by ~1e-4 (caught below), small enough that the two
+    trajectories agree at the established params-parity tolerance
+    (tests/test_chunked_train.py)."""
+    t1 = _trainer(**{"training_args.ema_decay": DECAY, "training_args.warmup_steps": 200})
     data = t1.load_dataset()
     root = jax.random.PRNGKey(42)
 
     state_a = t1.init_state(0)
+    init_ema = jax.tree.map(np.asarray, state_a.ema_params)
     step = t1.make_step_fn(data)
     for c in [1, 2, 3, 4]:
         state_a, _ = step(state_a, jax.random.fold_in(root, c))
@@ -89,9 +99,15 @@ def test_ema_through_chunked_scan_matches_per_step():
     chunk = t1.make_chunk_fn(data)
     state_b, _ = chunk(state_b, root, jnp.arange(1, 5, dtype=jnp.int32))
 
-    # Same tolerance as the established chunk-vs-step PARAMS parity test
-    # (tests/test_chunked_train.py): scan vs eager reorders float math, and
-    # the EMA shadow inherits that params-level drift.
+    # Sensitivity guard: the chunk's EMA must have genuinely moved from its
+    # init by more than the comparison tolerance (else a no-op EMA inside
+    # the scan would pass the allclose vacuously).
+    moved = max(
+        float(np.max(np.abs(np.asarray(b) - i)))
+        for b, i in zip(_leaves(state_b.ema_params), _leaves(init_ema))
+    )
+    assert moved > 1e-4, moved
+
     for a, b in zip(_leaves(state_a.ema_params), _leaves(state_b.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
