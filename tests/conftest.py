@@ -28,3 +28,23 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     return devs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Free compiled XLA executables at module boundaries.
+
+    The full suite compiles hundreds of CPU programs in one process; once it
+    grew past ~200 tests, XLA's CPU backend started segfaulting inside
+    backend_compile_and_load near the END of the run (reproducibly at
+    ~test 180 of 216, 2026-08-19; any sub-span of the suite passes —
+    test_val_loop alone and the last 13 files together are green). Dropping
+    executables each module caps live JIT'd code. Within-module caching —
+    what module-scoped fixtures rely on for speed — is untouched; a
+    re-traced call after the clear just recompiles.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
