@@ -9,7 +9,12 @@ EXP = "data/best_exp"
 OUTPUT = "prediction"
 CHECKPOINT =
 
-.PHONY: install train infer test bench format lint cache
+.PHONY: install train infer test bench format lint cache export
+
+# dhg checkpoint -> reference-loadable .pth (inverse of the torch converter)
+export:
+	python -m dhg.tools.export_torch_checkpoint --experiment_path=$(EXP) \
+		--dst=$(OUTPUT).pth
 
 install:
 	pip install -e . || true  # deps are baked into the TPU image
