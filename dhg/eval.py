@@ -48,6 +48,77 @@ def make_eval_fn(model, batch_size: int = 0, n_levels: int = 6):
     return eval_step
 
 
+def evaluate_checkpoint(
+    experiment_path: str | None = None,
+    config_path: str | None = None,
+    checkpoint_path: str | None = None,
+    split: str = "validation",
+    batch_size: int = 16,
+    seed: int = 0,
+    use_ema: bool = True,
+    n_levels: int = 6,
+):
+    """Evaluate a saved checkpoint on a data split; returns (total, score, pen).
+
+    Standalone counterpart of the in-training validation loop (capability
+    superset — the reference never evaluates its validation split), so
+    checkpoints can be compared after the fact:
+
+        python -m dhg.eval --experiment_path=<run dir>            # newest ckpt
+        python -m dhg.eval --experiment_path=<run> --split=train --use_ema=False
+
+    Checkpoint/config resolution follows the inference CLI (experiment_path
+    supplies config.yml + reference-order checkpoint discovery; explicit
+    paths win). use_ema prefers the EMA shadow when present, like infer.
+    """
+    from pathlib import Path
+
+    from dhg.checkpoint import load_model, resolve_checkpoint
+    from dhg.config import DLConfig
+
+    if experiment_path:
+        exp = Path(experiment_path)
+        if not config_path:
+            config_path = str(exp / "config.yml")
+        if not checkpoint_path:
+            found = resolve_checkpoint(exp)
+            if found is not None:
+                checkpoint_path = str(found)
+    if not config_path or not checkpoint_path:
+        raise ValueError(
+            "Both config_path and checkpoint_path must be provided, "
+            "either directly or via experiment_path."
+        )
+
+    model, params = load_model(config_path, checkpoint_path, use_ema=use_ema)
+    cfg = DLConfig.load(config_path)
+
+    from dhg.train import load_cache
+
+    cache = load_cache(cfg, split)
+    if cache is None or len(cache) == 0:
+        raise RuntimeError(f"no samples in the {split!r} split")
+    return evaluate(
+        model,
+        params,
+        cache,
+        batch_size=min(batch_size, len(cache)),
+        seed=seed,
+        eval_step=make_eval_fn(model, n_levels=n_levels),
+    )
+
+
+def main(argv=None) -> None:
+    import sys
+
+    from dhg.config import parse_cli_kwargs
+
+    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    total, score, pen = evaluate_checkpoint(**kwargs)
+    # Same fields/format as the train loop's val log line (train.py).
+    print(f"Val Loss: {total:.3f} | Val Score: {score:.3f} | Val Pen: {pen:.3f}")
+
+
 def evaluate(model, params, cache, batch_size: int = 16, seed: int = 0, eval_step=None):
     """Mean (total, score, pen) loss over a packed cache.
 
@@ -74,3 +145,7 @@ def evaluate(model, params, cache, batch_size: int = 16, seed: int = 0, eval_ste
         totals.append(np.asarray(m))
         weights.append(sl.stop - sl.start)
     return np.average(np.stack(totals), axis=0, weights=weights)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,51 @@ def make_optimizer(cfg: DLConfig) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
+def load_cache(cfg: DLConfig, kind: str):
+    """Packed sample cache for `kind` ('train' | 'validation').
+
+    Synthetic runs (training_args.dataset: synthetic — no IAM files in some
+    environments) derive a held-out validation set from the seed (+777,
+    n = max(16, max_files // 4)) so it never overlaps the train cache; IAM
+    runs read the split from data/splits.json. Validation returns None when
+    the split has no samples on disk; an empty train split raises.
+    Shared by the Trainer and the standalone `python -m dhg.eval` CLI."""
+    ta = cfg.training_args
+    if (ta.dataset or "iam") == "synthetic":
+        if kind == "validation":
+            n = max(16, (ta.max_files or 64) // 4)
+            seed = (cfg.experiment.seed or 0) + 777
+        else:
+            n = ta.max_files or 64
+            seed = cfg.experiment.seed or 0
+        return synthetic_cache(
+            n=n,
+            max_seq_len=cfg.dataset_args.max_seq_len or 480,
+            max_text_len=cfg.dataset_args.max_text_len or 50,
+            seed=seed,
+        )
+    from dhg.data.iam import load_or_build_cache
+
+    try:
+        return load_or_build_cache(
+            cache_dir=ta.cache_dir or "./data/cache",
+            data_dir=cfg.experiment.data_dir,
+            kind=kind,
+            splits_file=cfg.experiment.splits_file,
+            img_height=cfg.dataset_args.img_height or 96,
+            img_width=cfg.dataset_args.img_width or 1400,
+            max_text_len=cfg.dataset_args.max_text_len or 50,
+            max_seq_len=cfg.dataset_args.max_seq_len or 480,
+            max_files=ta.max_files,
+            seed=cfg.experiment.seed or 54321,
+            style_weights=cfg.dataset_args.style_weights,
+        )
+    except RuntimeError:  # no samples on disk for this split
+        if kind == "validation":
+            return None
+        raise
+
+
 class Trainer:
     """Owns model/optimizer/dataset/mesh and the compiled train step."""
 
@@ -169,32 +214,7 @@ class Trainer:
     # -- data ----------------------------------------------------------------
 
     def load_dataset(self) -> DeviceDataset:
-        cfg = self.cfg
-        ta = cfg.training_args
-        if (ta.dataset or "iam") == "synthetic":
-            cache = synthetic_cache(
-                n=ta.max_files or 64,
-                max_seq_len=cfg.dataset_args.max_seq_len or 480,
-                max_text_len=cfg.dataset_args.max_text_len or 50,
-                seed=cfg.experiment.seed or 0,
-            )
-        else:
-            from dhg.data.iam import load_or_build_cache
-
-            cache = load_or_build_cache(
-                cache_dir=ta.cache_dir or "./data/cache",
-                data_dir=cfg.experiment.data_dir,
-                kind="train",
-                splits_file=cfg.experiment.splits_file,
-                img_height=cfg.dataset_args.img_height or 96,
-                img_width=cfg.dataset_args.img_width or 1400,
-                max_text_len=cfg.dataset_args.max_text_len or 50,
-                max_seq_len=cfg.dataset_args.max_seq_len or 480,
-                max_files=ta.max_files,
-                seed=cfg.experiment.seed or 54321,
-                style_weights=cfg.dataset_args.style_weights,
-            )
-        return DeviceDataset.from_cache(cache)
+        return DeviceDataset.from_cache(load_cache(self.cfg, "train"))
 
     # -- the step ------------------------------------------------------------
 
@@ -312,37 +332,9 @@ class Trainer:
         set. Returns None when validation is disabled (no val_freq) or the
         split is empty. (Capability superset: the reference never evaluates
         its validation split, SURVEY §2.)"""
-        cfg = self.cfg
-        ta = cfg.training_args
-        if not ta.val_freq:
+        if not self.cfg.training_args.val_freq:
             return None
-        if (ta.dataset or "iam") == "synthetic":
-            from dhg.data.pipeline import synthetic_cache
-
-            return synthetic_cache(
-                n=max(16, (ta.max_files or 64) // 4),
-                max_seq_len=cfg.dataset_args.max_seq_len or 480,
-                max_text_len=cfg.dataset_args.max_text_len or 50,
-                seed=(cfg.experiment.seed or 0) + 777,
-            )
-        from dhg.data.iam import load_or_build_cache
-
-        try:
-            return load_or_build_cache(
-                cache_dir=ta.cache_dir or "./data/cache",
-                data_dir=cfg.experiment.data_dir,
-                kind="validation",
-                splits_file=cfg.experiment.splits_file,
-                img_height=cfg.dataset_args.img_height or 96,
-                img_width=cfg.dataset_args.img_width or 1400,
-                max_text_len=cfg.dataset_args.max_text_len or 50,
-                max_seq_len=cfg.dataset_args.max_seq_len or 480,
-                max_files=ta.max_files,
-                seed=cfg.experiment.seed or 54321,
-                style_weights=cfg.dataset_args.style_weights,
-            )
-        except RuntimeError:  # no validation samples on disk
-            return None
+        return load_cache(self.cfg, "validation")
 
     # -- the loop ------------------------------------------------------------
 
