@@ -36,6 +36,11 @@ head-of-line-block the batcher for a multi-minute remote compile.
 diffusion_mode is allowlisted the same way (--warm_modes, default
 new+standard; add "ddim" to serve the deterministic DDIM sampler).
 
+Graceful shutdown: SIGTERM (what cluster preemption sends) or SIGINT stops
+the listener, drains — new requests get 503, queued + in-flight ones finish
+— then exits; GenerationService.shutdown() exposes the same drain to
+embedders.
+
 Distilled checkpoints (dhg/distill.py): when the experiment's config
 carries training_args.distilled_steps, n_steps requests coarsen on the
 "halved" grid the student was trained on (not "strided"), unspecified
@@ -64,6 +69,10 @@ from dhg.core.sampling import infer_seq_len
 from dhg.data.tokenizer import Tokenizer
 
 BATCH_SIZES = (1, 2, 4, 8, 16)
+
+
+class Draining(RuntimeError):
+    """Raised for requests arriving after shutdown() began — HTTP 503."""
 
 
 @dataclass
@@ -137,6 +146,9 @@ class GenerationService:
 
         self._queue: deque[_Pending] = deque()
         self._cv = threading.Condition()
+        self._draining = False  # True: refuse new requests (503)
+        self._stopped = False  # True: batcher thread exits when idle
+        self._inflight = 0  # groups currently inside _serve_group
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
         self._batcher.start()
 
@@ -290,8 +302,11 @@ class GenerationService:
         while True:
             with self._cv:
                 while not self._queue:
+                    if self._stopped:
+                        return
                     self._cv.wait()
                 first = self._queue.popleft()
+                self._inflight += 1
             group = [first]
             deadline = time.perf_counter() + self.batch_window
             while len(group) < self.max_batch:
@@ -341,6 +356,32 @@ class GenerationService:
             for p in group:
                 p.error = e
                 p.done.set()
+        finally:
+            with self._cv:
+                self._inflight -= 1
+                self._cv.notify_all()  # shutdown() waits on queue+inflight
+
+    def shutdown(self, timeout: float = 60.0) -> None:
+        """Graceful drain: refuse new requests (Draining -> HTTP 503), wait
+        for every queued and in-flight request to finish, then stop the
+        batcher thread. Idempotent; safe from any thread. Requests still
+        waiting at `timeout` keep running on the daemon batcher, but the
+        caller stops blocking on them."""
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            self._draining = True
+            while self._queue or self._inflight:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    logging.getLogger(__name__).warning(
+                        "shutdown drain timed out with %d queued / %d in flight",
+                        len(self._queue), self._inflight,
+                    )
+                    break
+                self._cv.wait(timeout=remaining)
+            self._stopped = True
+            self._cv.notify_all()
+        self._batcher.join(timeout=5.0)
 
     def stats_snapshot(self) -> dict:
         """Consistent stats copy — all mutations happen under self._cv."""
@@ -393,6 +434,8 @@ class GenerationService:
         req = _Pending(tokens, seed, diffusion_mode, guidance_scale, bucket, n_steps)
         t0 = time.perf_counter()
         with self._cv:
+            if self._draining:
+                raise Draining("server is draining; not accepting new requests")
             self._queue.append(req)
             self.stats["requests"] += 1
             self._cv.notify_all()
@@ -452,6 +495,8 @@ def make_handler(service: GenerationService):
                         "truncated": truncated,
                     },
                 )
+            except Draining as e:
+                self._send(503, {"error": str(e)})
             except (KeyError, ValueError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover
@@ -481,13 +526,18 @@ def main(argv=None):
     service = GenerationService.from_experiment(
         kw["experiment_path"], source=kw.get("source")
     )
-    buckets = [int(b) for b in str(kw.get("warmup_buckets", "200,400")).split(",")]
-    warm_steps = tuple(
-        int(s) for s in str(kw.get("warm_steps", "")).split(",") if s.strip()
-    )
-    warm_modes = tuple(
-        m.strip() for m in str(kw.get("warm_modes", "new,standard")).split(",") if m.strip()
-    )
+    # "--warmup_buckets=" (empty; yaml-parses to None) skips warmup entirely
+    # — useful for smoke tests; production launches keep the default warm
+    # buckets.
+    raw_buckets = kw.get("warmup_buckets", "200,400")
+    raw_buckets = "" if raw_buckets is None else str(raw_buckets)
+    buckets = [int(b) for b in raw_buckets.split(",") if b.strip()]
+    raw_steps = kw.get("warm_steps", "")
+    raw_steps = "" if raw_steps is None else str(raw_steps)
+    warm_steps = tuple(int(s) for s in raw_steps.split(",") if s.strip())
+    raw_modes = kw.get("warm_modes", "new,standard")
+    raw_modes = "" if raw_modes is None else str(raw_modes)
+    warm_modes = tuple(m.strip() for m in raw_modes.split(",") if m.strip())
     if service.distilled_steps:
         # A distilled student's serving defaults are its own halved grid +
         # DDIM (generate_line) — warm them so the defaults never compile live.
@@ -498,7 +548,29 @@ def main(argv=None):
     httpd = serve(service, port=int(kw.get("port", 8008)), warmup_buckets=buckets,
                   warmup_modes=warm_modes, warm_steps=warm_steps)
     print(f"dhg serving on 127.0.0.1:{httpd.server_address[1]} (buckets {buckets})")
+
+    # Graceful shutdown on SIGTERM (cluster preemption) and SIGINT: stop
+    # accepting, let queued + in-flight requests finish, then exit. The
+    # handler must not call httpd.shutdown() inline — it runs on the main
+    # thread UNDER serve_forever's frame, and shutdown() blocks until
+    # serve_forever exits (deadlock); hand it to a helper thread. Installed
+    # explicitly because detached processes inherit SIGINT=SIG_IGN
+    # (DEVNOTES round-3) — same rationale as dhg.train's handlers.
+    import signal
+
+    def _stop(signum, frame):
+        logging.getLogger(__name__).info("signal %d: draining...", signum)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _stop)
+        except ValueError:  # not the main thread (embedded use)
+            break
     httpd.serve_forever()
+    service.shutdown()
+    httpd.server_close()
+    print("dhg server stopped (drained)")
 
 
 if __name__ == "__main__":

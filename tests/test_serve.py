@@ -249,3 +249,162 @@ def test_batched_result_identical_to_solo(server):
     want = np.asarray(solo["strokes"])
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+# -- graceful shutdown ---------------------------------------------------------
+
+
+def _tiny_service():
+    model = DiffusionModel(num_layers=1, c1=32, c2=48, c3=64)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 24, 2)),
+        jnp.zeros((1, 50), jnp.int32),
+        jnp.ones((1, 1)),
+        jnp.zeros((1, 14, 1280)),
+    )["params"]
+    return GenerationService(model, params, jnp.zeros((1, 14, 1280)))
+
+
+def test_shutdown_drains_inflight_then_refuses():
+    """shutdown() finishes every accepted request, then rejects new ones
+    and stops the batcher thread."""
+    import time
+
+    from dhg.serve import Draining
+
+    service = _tiny_service()
+    results, errors = [], []
+
+    def worker(seed):
+        try:
+            out, _, _, _ = service.generate_line("ab", seed=seed)
+            results.append(out)
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    # Requests enqueue under the service lock BEFORE blocking, so once the
+    # stats show 4 every one of them is queued or in flight.
+    deadline = time.time() + 60
+    while service.stats_snapshot()["requests"] < 4 and time.time() < deadline:
+        time.sleep(0.01)
+    service.shutdown(timeout=600)
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert len(results) == 4
+    assert all(np.all(np.isfinite(np.asarray(r))) for r in results)
+    assert not service._batcher.is_alive()
+    with pytest.raises(Draining, match="draining"):
+        service.generate_line("ab", seed=9)
+    service.shutdown()  # idempotent
+
+
+def test_http_503_when_draining():
+    """The HTTP layer maps Draining to 503 for requests during drain."""
+    service = _tiny_service()
+    httpd = serve(service, port=0, warmup_buckets=[])  # no warmup compiles
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        service.shutdown(timeout=10)  # empty queue: immediate
+        status, body = _post(url + "/generate", {"prompt": "ab", "seed": 1})
+        assert status == 503
+        assert "draining" in body["error"]
+        # health endpoint still answers during/after drain
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_cli_sigterm_drains_and_exits(tmp_path):
+    """The real `python -m dhg.serve` process (detached: SIGINT ignored)
+    must drain and exit cleanly on SIGTERM — what cluster preemption
+    sends. Mirrors the dhg.train interrupt test's wrapper trick to force
+    the CPU backend in the subprocess (env vars are dead, DEVNOTES.md)."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from dhg.checkpoint import save_checkpoint
+    from dhg.config import DLConfig, fit_config
+
+    exp_dir = tmp_path / "exp"
+    cfg = DLConfig(
+        fit_config(
+            config="smoke.yml",
+            **{
+                "training_args.channels": 32,
+                "training_args.att_layers_num": 1,
+                "dataset_args.max_seq_len": 96,
+                "dataset_args.max_text_len": 20,
+            },
+        )
+    )
+    model = DiffusionModel(num_layers=1, c1=32, c2=48, c3=64)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 24, 2)),
+        jnp.zeros((1, 20), jnp.int32),
+        jnp.ones((1, 1)),
+        jnp.zeros((1, 14, 1280)),
+    )["params"]
+    save_checkpoint(exp_dir / "model_final", params)
+    cfg.dump(exp_dir / "config.yml")
+
+    wrapper = tmp_path / "serve_cpu.py"
+    wrapper.write_text(
+        "import os, sys\n"
+        "sys.path.insert(0, os.getcwd())\n"
+        "import jax\n"
+        'jax.config.update("jax_platforms", "cpu")\n'
+        "import runpy\n"
+        "sys.argv = sys.argv[1:]\n"
+        'runpy.run_module("dhg.serve", run_name="__main__")\n'
+    )
+    out_path = tmp_path / "serve_out.log"
+    with open(out_path, "wb") as out:
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-u",
+                str(wrapper),
+                "dhg.serve",
+                f"--experiment_path={exp_dir}",
+                "--port=0",
+                "--warmup_buckets=",  # skip warmup compiles (smoke path)
+            ],
+            env=dict(os.environ),
+            preexec_fn=lambda: signal.signal(signal.SIGINT, signal.SIG_IGN),
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            cwd=os.getcwd(),
+        )
+    try:
+        deadline = time.time() + 300
+        port = None
+        while time.time() < deadline:
+            m = re.search(rb"dhg serving on 127\.0\.0\.1:(\d+)", out_path.read_bytes())
+            if m:
+                port = int(m.group(1))
+                break
+            assert proc.poll() is None, out_path.read_text()
+            time.sleep(0.5)
+        assert port, "server never announced its port"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+        assert proc.returncode == 0, out_path.read_text()
+        assert b"stopped (drained)" in out_path.read_bytes()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
