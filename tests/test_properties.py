@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the fiddly pure-numpy data path.
+
+These functions carry the reference's subtlest behavior contracts
+(SURVEY §2 dataset quirks), so fixed-example tests are complemented here
+with randomized invariants: tokenizer encode/decode/batch agreement,
+combine_strokes structural invariants + numpy-vs-C++ bit-identity, the
+pad/drop rules, and the strided schedule's exact-alpha-subset guarantee.
+Example counts are kept modest so the suite stays fast.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dhg.data.strokes import combine_strokes, pad_stroke_seq
+from dhg.data.tokenizer import CHARSET, EOS_ID, UNK_ID, Tokenizer
+
+SETTINGS = dict(max_examples=40, deadline=None)
+
+
+# -- tokenizer ----------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(st.text(alphabet=CHARSET, max_size=48))
+def test_tokenizer_roundtrip_on_charset(text):
+    tok = Tokenizer()
+    ids = tok.encode(text)
+    assert ids[-1] == EOS_ID
+    assert all(2 <= i <= tok.vocab_size - 1 for i in ids[:-1])
+    assert tok.decode(ids[:-1]) == text
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=5))
+def test_encode_batch_matches_encode_for_any_unicode(texts):
+    """The vectorized batch path agrees with scalar encode() on ARBITRARY
+    strings — unknown codepoints (incl. astral-plane) all map to UNK."""
+    tok = Tokenizer()
+    max_len = 22
+    batch = tok.encode_batch(texts, max_len)
+    for row, t in zip(batch, texts):
+        ids = tok.encode(t)
+        assert list(row[: len(ids)]) == ids
+        assert not row[len(ids) :].any()  # zero padding after EOS
+
+
+@settings(**SETTINGS)
+@given(st.text(max_size=48))
+def test_encode_unknowns_map_to_unk(text):
+    tok = Tokenizer()
+    for c, i in zip(text, tok.encode(text)):
+        assert i == (tok.tokens[c] if c in tok.tokens else UNK_ID)
+
+
+# -- stroke simplification ------------------------------------------------------
+
+
+def _strokes(n, seed, pen_p=0.1):
+    rng = np.random.RandomState(seed)
+    xyz = rng.randn(n, 3)
+    xyz[:, 2] = (rng.rand(n) < pen_p).astype(float)
+    xyz[:, :2] /= np.std(xyz[:, :2])
+    return xyz
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=4, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    frac=st.floats(min_value=0.05, max_value=0.5),
+)
+def test_combine_strokes_invariants(n, seed, frac):
+    """Length drops by exactly the merge count, pen bits stay binary, and
+    the surviving deltas are re-normalized to unit std (utils/io.py:118-147
+    semantics)."""
+    xyz = _strokes(n, seed)
+    k = max(1, int(n // 2 * frac))
+    out = combine_strokes(xyz.copy(), k)
+    assert out.shape == (n - k, 3)
+    assert set(np.unique(out[:, 2])) <= {0.0, 1.0}
+    assert np.isclose(np.std(out[:, :2]), 1.0, rtol=1e-9)
+    # Merging sums pairs, so the TOTAL displacement is preserved exactly up
+    # to the final global re-normalization: after == before / std_factor.
+    before = xyz[:, :2].sum(0)
+    after = out[:, :2].sum(0)
+    scale = np.linalg.norm(after) / max(np.linalg.norm(before), 1e-12)
+    np.testing.assert_allclose(after, before * scale, rtol=1e-6, atol=1e-6)
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=4, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    frac=st.floats(min_value=0.05, max_value=0.45),
+)
+def test_native_combine_bit_identical_to_numpy(n, seed, frac):
+    """The C++ path must agree with numpy on ARBITRARY inputs, not just the
+    fixed seeds in test_native.py — stable tie ordering is the contract."""
+    from dhg.native import combine_strokes_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    xyz = _strokes(n, seed)
+    k = int(n // 2 * frac)
+    ref = combine_strokes(xyz.copy(), k)
+    out = combine_strokes_native(xyz.copy(), k)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=64),
+    maxlength=st.integers(min_value=1, max_value=64),
+    big=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_pad_stroke_seq_contract(n, maxlength, big, seed):
+    """None iff too long or any |coord| > 15; else [max, 3] f32 with
+    (0,0,1) padding rows (utils/preprocessing.py:4-26)."""
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 3) * 2.0
+    x[:, 2] = (x[:, 2] > 0).astype(float)
+    if big:
+        x[rng.randint(n), rng.randint(2)] = 15.0001
+    out = pad_stroke_seq(x, maxlength)
+    if n > maxlength or np.amax(np.abs(x)) > 15:
+        assert out is None
+    else:
+        assert out is not None and out.shape == (maxlength, 3)
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out[:n], x.astype(np.float32), rtol=1e-6)
+        assert not out[n:, :2].any()
+        assert (out[n:, 2] == 1.0).all()
+
+
+# -- schedules ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", [2, 3, 5, 10, 15, 20, 30, 59, 60])
+def test_strided_alphas_are_exact_subset(k):
+    """cumprod(1-strided_beta_set(k)) must hit k of the 60 canonical
+    alpha_bar levels EXACTLY (including the final one), so a k-step walk
+    denoises on true schedule points."""
+    from dhg.core.schedule import get_alpha_set, get_beta_set, strided_beta_set
+
+    full = np.asarray(get_alpha_set(get_beta_set()), np.float64)
+    strided = np.asarray(get_alpha_set(strided_beta_set(k)), np.float64)
+    assert strided.shape == (k,)
+    # Every strided level matches some canonical level to f32 resolution
+    # (the beta construction is exact in real arithmetic; recomputing
+    # cumprod(1 - beta) in f32 reintroduces ~1e-7 relative rounding).
+    dist = np.abs(strided[:, None] - full[None, :]).min(axis=1)
+    assert dist.max() <= 1e-6, dist.max()
+    np.testing.assert_allclose(strided[-1], full[-1], rtol=1e-5)
+    assert (np.diff(strided) < 0).all()  # strictly decreasing noise level
