@@ -9,7 +9,7 @@ EXP = "data/best_exp"
 OUTPUT = "prediction"
 CHECKPOINT =
 
-.PHONY: install train infer test bench format lint cache export
+.PHONY: install train infer infer-batch test bench format lint cache export
 
 # dhg checkpoint -> reference-loadable .pth (inverse of the torch converter)
 export:
@@ -30,6 +30,11 @@ else
 	python -m dhg.inference --prompt=$(TEXT) --source=$(SOURCE) \
 		--experiment_path=$(EXP) --output=$(OUTPUT)
 endif
+
+# PROMPTS=<file with one prompt per line> -> $(OUTPUT)_000.png, _001.png, ...
+infer-batch:
+	python -m dhg.inference --prompts_file=$(PROMPTS) --source=$(SOURCE) \
+		--experiment_path=$(EXP) --output=$(OUTPUT)
 
 test:
 	python -m pytest -q tests

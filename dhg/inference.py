@@ -423,8 +423,8 @@ def style_from_image(
 
 
 def infer(
-    prompt: str,
-    source: str,
+    prompt: str | None = None,
+    source: str | None = None,
     config_path: str | None = None,
     checkpoint_path: str | None = None,
     experiment_path: str | None = None,
@@ -438,8 +438,15 @@ def infer(
     n_steps: int | None = None,
     use_ema: bool = True,
     schedule: str | None = None,
-) -> np.ndarray:
+    prompts_file: str | None = None,
+) -> np.ndarray | list[np.ndarray]:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
+
+    prompts_file: instead of one --prompt, a text file with one prompt per
+    line — all lines sample in ONE padded batch (sample_lines, BASELINE
+    config 2) and render to <output>_000.png, <output>_001.png, ...;
+    returns the list of per-line [T_i, 3] arrays (each trimmed to its own
+    16*len heuristic length, so outputs match single-prompt runs).
 
     style_weights: MobileNetV2 .npz path; falls back to the experiment
     config's dataset_args.style_weights, then the repo default.
@@ -496,14 +503,39 @@ def infer(
     if schedule is None:
         schedule = "strided"
 
-    tokenizer = Tokenizer()
-    encoded = tokenizer.encode(prompt)
-    text = jnp.asarray([encoded], jnp.int32)
-    seq_len = infer_seq_len(len(encoded))
+    if (prompt is None) == (prompts_file is None):
+        raise ValueError("provide exactly one of prompt or prompts_file")
+    if source is None:
+        raise ValueError("source (writer-style image) is required")
 
     style = jnp.asarray(
         style_from_image(source, style_weights=style_weights, strict=strict_style)
     )
+
+    if prompts_file is not None:
+        prompts = [ln for ln in Path(prompts_file).read_text().splitlines() if ln.strip()]
+        if not prompts:
+            raise ValueError(f"no prompts in {prompts_file}")
+        lines = sample_lines(
+            model,
+            params,
+            prompts,
+            style,
+            jax.random.PRNGKey(seed),
+            max_text_len=cfg.dataset_args.max_text_len or 50,
+            diffusion_mode=diffusion_mode,
+            guidance_scale=guidance_scale,
+            n_steps=n_steps,
+            schedule=schedule,
+        )
+        for i, arr in enumerate(lines):
+            show_strokes(arr, scale=1, name=f"{output}_{i:03d}", show_output=show)
+        return lines
+
+    tokenizer = Tokenizer()
+    encoded = tokenizer.encode(prompt)
+    text = jnp.asarray([encoded], jnp.int32)
+    seq_len = infer_seq_len(len(encoded))
 
     strokes = generate(
         model,

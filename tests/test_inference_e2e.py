@@ -88,3 +88,51 @@ def test_infer_cli_produces_png(tiny_experiment, tmp_path, monkeypatch):
     assert out.shape[1] == 3
     # T = 16 * 4 tokens -> 64 -> bumped to 72.
     assert out.shape[0] == 72
+
+
+def test_infer_prompts_file_batched(tiny_experiment, tmp_path, monkeypatch):
+    """--prompts_file renders every line from ONE padded batch, trimmed to
+    each prompt's own 16*len heuristic length (BASELINE config 2 through
+    the CLI surface)."""
+    import cv2
+
+    from dhg.inference import infer, infer_seq_len
+
+    img = np.full((96, 400), 255, np.uint8)
+    xs = np.linspace(10, 390, 300).astype(int)
+    ys = (48 + 30 * np.sin(xs / 15.0)).astype(int).clip(5, 90)
+    img[ys, xs] = 0
+    src = tmp_path / "style.png"
+    cv2.imwrite(str(src), img)
+
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("ab\nhello\n\n")  # trailing blank line ignored
+
+    monkeypatch.chdir(tmp_path)
+    outs = infer(
+        prompts_file=str(pf),
+        source=str(src),
+        experiment_path=str(tiny_experiment),
+        output="batch",
+        seed=3,
+    )
+    assert len(outs) == 2
+    assert (tmp_path / "batch_000.png").exists()
+    assert (tmp_path / "batch_001.png").exists()
+    assert outs[0].shape == (infer_seq_len(3), 3)  # "ab" + EOS
+    assert outs[1].shape == (infer_seq_len(6), 3)  # "hello" + EOS
+    assert all(np.all(np.isfinite(o)) for o in outs)
+
+
+def test_infer_prompt_xor_prompts_file(tiny_experiment, tmp_path):
+    from dhg.inference import infer
+
+    with pytest.raises(ValueError, match="exactly one"):
+        infer(
+            prompt="x",
+            prompts_file=str(tmp_path / "p.txt"),
+            source="img.png",
+            experiment_path=str(tiny_experiment),
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        infer(source="img.png", experiment_path=str(tiny_experiment))
