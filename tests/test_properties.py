@@ -156,3 +156,91 @@ def test_strided_alphas_are_exact_subset(k):
     assert dist.max() <= 1e-6, dist.max()
     np.testing.assert_allclose(strided[-1], full[-1], rtol=1e-5)
     assert (np.diff(strided) < 0).all()  # strictly decreasing noise level
+
+
+# -- config merge / override semantics -------------------------------------------
+
+_keys = st.sampled_from(list("abcdef"))
+_scalars = st.one_of(st.integers(-100, 100), st.floats(allow_nan=False, allow_infinity=False, width=32), st.text(max_size=6), st.booleans(), st.none())
+_nested = st.recursive(
+    st.dictionaries(_keys, _scalars, max_size=3),
+    lambda children: st.dictionaries(_keys, st.one_of(_scalars, children), max_size=3),
+    max_leaves=12,
+)
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        p = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, p + "."))
+        else:
+            out[p] = v
+    return out
+
+
+@settings(**SETTINGS)
+@given(base=_nested, over=_nested)
+def test_merge_configs_is_deep(base, over):
+    """merge semantics (reference config.py:57-69): every leaf of `over`
+    wins at its full dotted path; base leaves not shadowed by an `over`
+    leaf or dict-over-scalar replacement survive."""
+    import copy
+
+    from dhg.config import merge_configs
+
+    merged = merge_configs(copy.deepcopy(base), copy.deepcopy(over))
+    flat_m = _flatten(merged)
+    for path, v in _flatten(over).items():
+        assert path in flat_m and flat_m[path] == v or (
+            flat_m.get(path) is v
+        ), path
+    # A base leaf at `path` survives the DEEP merge unless `over` destroys
+    # it: an over LEAF at `path`, at an ancestor (scalar replaces the
+    # subtree), or at a descendant (dicts materialize over the scalar) —
+    # or an over DICT node at `path` or below (dict-wins replaces the
+    # scalar, even when empty: over={'a': {}} kills base={'a': 1}).
+    # An over dict at a strict ANCESTOR recurses and preserves siblings —
+    # that is the deep-merge property this test pins.
+    def _node_paths(d, prefix=""):
+        out = set()
+        for k, v in d.items():
+            p = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out.add(p)
+                out |= _node_paths(v, p + ".")
+        return out
+
+    over_leaves = set(_flatten(over))
+    over_dicts = _node_paths(over)
+    for path, v in _flatten(base).items():
+        shadowed = any(
+            q == path or p.startswith(q + ".") or q.startswith(path + ".")
+            for q in over_leaves
+            for p in [path]
+        ) or any(d == path or d.startswith(path + ".") for d in over_dicts)
+        if not shadowed:
+            assert path in flat_m and (flat_m[path] == v or flat_m[path] is v), path
+
+
+@settings(**SETTINGS)
+@given(
+    base=_nested,
+    path=st.lists(_keys, min_size=1, max_size=4),
+    value=_scalars,
+)
+def test_update_config_sets_exact_dotted_path(base, path, value):
+    """Dotted overrides (reference config.py:72-86) set exactly the named
+    leaf, materializing intermediate dicts over any scalar in the way."""
+    import copy
+
+    from dhg.config import update_config
+
+    dotted = ".".join(path)
+    out = update_config(copy.deepcopy(base), {dotted: value})
+    node = out
+    for p in path[:-1]:
+        assert isinstance(node[p], dict)
+        node = node[p]
+    assert node[path[-1]] == value or node[path[-1]] is value
