@@ -170,9 +170,18 @@ def object_from_dict(d: dict, **default_kwargs) -> tuple[str, dict]:
     return OPTIMIZER_REGISTRY[object_type], params
 
 
-def parse_cli_kwargs(argv: list[str] | None = None) -> dict[str, Any]:
-    """Parse --key=value / --key value pairs; values go through yaml.safe_load."""
+def parse_cli_kwargs(
+    argv: list[str] | None = None, help_text: str | None = None
+) -> dict[str, Any]:
+    """Parse --key=value / --key value pairs; values go through yaml.safe_load.
+
+    --help / -h prints `help_text` (callers pass their module docstring —
+    the reference's fire.Fire CLI auto-generated help, config.py:139-144)
+    and exits 0."""
     argv = list(sys.argv[1:] if argv is None else argv)
+    if help_text is not None and ("--help" in argv or "-h" in argv):
+        print(help_text.strip())
+        raise SystemExit(0)
     out: dict[str, Any] = {}
     i = 0
     while i < len(argv):

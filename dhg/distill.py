@@ -219,7 +219,7 @@ def probe_fidelity(
 
 
 def main() -> None:
-    kw = parse_cli_kwargs()
+    kw = parse_cli_kwargs(help_text=__doc__)
     exp_path = kw.pop("experiment_path", None)
     if not exp_path:
         raise SystemExit("--experiment_path=<teacher run dir> is required")

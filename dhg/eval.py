@@ -113,7 +113,7 @@ def main(argv=None) -> None:
 
     from dhg.config import parse_cli_kwargs
 
-    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     total, score, pen = evaluate_checkpoint(**kwargs)
     # Same fields/format as the train loop's val log line (train.py).
     print(f"Val Loss: {total:.3f} | Val Score: {score:.3f} | Val Pen: {pen:.3f}")

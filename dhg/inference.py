@@ -555,7 +555,7 @@ def infer(
 
 
 def main(argv=None):
-    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     infer(**kwargs)
 
 

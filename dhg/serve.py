@@ -522,7 +522,7 @@ def main(argv=None):
 
     from dhg.config import parse_cli_kwargs
 
-    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     service = GenerationService.from_experiment(
         kw["experiment_path"], source=kw.get("source")
     )

@@ -17,7 +17,7 @@ from dhg.utils.log import get_logger
 
 
 def main(argv=None) -> None:
-    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     kind = kwargs.pop("kind", "train")
     cfg = DLConfig(fit_config(**kwargs))
     logger = get_logger("build_cache")

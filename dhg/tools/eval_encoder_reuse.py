@@ -80,7 +80,7 @@ def main(argv=None):
     from dhg.checkpoint import load_model, resolve_checkpoint
     from dhg.config import parse_cli_kwargs
 
-    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     exp = Path(kw["experiment_path"])
     ckpt = resolve_checkpoint(exp)
     model, params = load_model(exp / "config.yml", ckpt)

@@ -184,7 +184,7 @@ def profile(batch: int = 96, prompt_len: int = 24, dtype=jnp.bfloat16):
 def main(argv=None):
     from dhg.config import parse_cli_kwargs
 
-    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     report = profile(
         batch=int(kw.get("batch", 96)), prompt_len=int(kw.get("prompt_len", 24))
     )

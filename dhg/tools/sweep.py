@@ -24,7 +24,7 @@ from dhg.core.schedule import get_beta_set
 
 
 def main(argv=None) -> None:
-    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:])
+    kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     batches = [int(b) for b in str(kw.get("batches", "16,96,256")).split(",")]
     steps_list = [int(s) for s in str(kw.get("steps", "20,30,60")).split(",")]
     guidance_list = [float(g) for g in str(kw.get("guidance", "1.0")).split(",")]

@@ -80,3 +80,19 @@ def test_dump_roundtrip(tmp_path):
     cfg2 = DLConfig.load(tmp_path / "c.yml")
     assert cfg2.to_dict() == cfg.to_dict()
     assert "a:" in cfg.pretty_text
+
+
+def test_parse_cli_kwargs_help(capsys):
+    """--help/-h prints the caller's help text and exits 0 (fire-CLI parity)."""
+    import pytest
+
+    from dhg.config import parse_cli_kwargs
+
+    for flag in ("--help", "-h"):
+        with pytest.raises(SystemExit) as exc:
+            parse_cli_kwargs([flag], help_text="Usage: things.")
+        assert exc.value.code == 0
+        assert "Usage: things." in capsys.readouterr().out
+    # Without help_text the flag is an ordinary (bad) argument.
+    with pytest.raises(SystemExit):
+        parse_cli_kwargs(["-h"])  # not --key form -> usage error
