@@ -206,6 +206,8 @@ def parse_cli_kwargs(
     return out
 
 
-def config_entrypoint(argv: list[str] | None = None) -> DLConfig:
+def config_entrypoint(
+    argv: list[str] | None = None, help_text: str | None = None
+) -> DLConfig:
     """Build the run config from CLI args (reference config.py:139-144)."""
-    return DLConfig(fit_config(**parse_cli_kwargs(argv)))
+    return DLConfig(fit_config(**parse_cli_kwargs(argv, help_text=help_text)))

@@ -576,4 +576,4 @@ def main(cfg: DLConfig) -> None:
 
 
 if __name__ == "__main__":
-    main(config_entrypoint())
+    main(config_entrypoint(help_text=__doc__))
