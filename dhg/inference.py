@@ -30,7 +30,7 @@ from dhg.checkpoint import load_model, resolve_checkpoint
 from dhg.config import parse_cli_kwargs
 from dhg.core.sampling import diffusion_sample, infer_seq_len
 from dhg.data.tokenizer import Tokenizer
-from dhg.utils.vis import show_strokes
+from dhg.utils.vis import save_strokes
 
 
 def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
@@ -439,8 +439,13 @@ def infer(
     use_ema: bool = True,
     schedule: str | None = None,
     prompts_file: str | None = None,
+    format: str = "png",
 ) -> np.ndarray | list[np.ndarray]:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
+
+    format: "png" (default — matplotlib render, reference-parity pixels,
+    utils/vis.py:5-36) or "svg" (lossless vector export of the stroke
+    polylines, a capability superset; dhg.utils.vis.strokes_to_svg).
 
     prompts_file: instead of one --prompt, a text file with one prompt per
     line — all lines sample in ONE padded batch (sample_lines, BASELINE
@@ -529,7 +534,7 @@ def infer(
             schedule=schedule,
         )
         for i, arr in enumerate(lines):
-            show_strokes(arr, scale=1, name=f"{output}_{i:03d}", show_output=show)
+            save_strokes(arr, f"{output}_{i:03d}", fmt=format, show_output=show)
         return lines
 
     tokenizer = Tokenizer()
@@ -550,7 +555,7 @@ def infer(
         schedule=schedule,
     )
     result = np.asarray(strokes[0])
-    show_strokes(result, scale=1, name=output, show_output=show)
+    save_strokes(result, output, fmt=format, show_output=show)
     return result
 
 

@@ -34,29 +34,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from dhg.utils.vis import drawn_segments  # canonical pen-semantics helper
+
 # ---------------------------------------------------------------------------
 # 1. Rasterizer
 # ---------------------------------------------------------------------------
-
-
-def drawn_segments(strokes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Absolute points and the drawn-segment mask for a [T, 3] sequence.
-
-    Returns (xy [T, 2] float, draw [T-1] bool) where draw[i] is True iff
-    the segment xy[i] -> xy[i+1] is part of the rendered polyline under
-    show_strokes' contract: segments ending at a pen-up point are skipped,
-    and nothing at-or-after the LAST pen-up point is drawn. A sequence
-    with no pen-up point draws nothing (reference loop quirk).
-    """
-    seq = np.asarray(strokes, dtype=float)
-    xy = np.cumsum(seq[:, :2], axis=0)
-    draw = np.zeros(max(len(seq) - 1, 0), dtype=bool)
-    pen_up = np.flatnonzero(seq[:, 2].round() == 1)
-    if pen_up.size:
-        last = pen_up[-1]
-        draw[: max(last - 1, 0)] = True  # segments ending at 1..last-1
-        draw[pen_up[pen_up < last] - 1] = False  # ...except into a pen-up
-    return xy, draw
 
 
 def rasterize_strokes(

@@ -22,6 +22,99 @@ import numpy as np
 from matplotlib import pyplot as plt
 
 
+def drawn_segments(strokes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Absolute points and the drawn-segment mask for a [T, 3] sequence.
+
+    Returns (xy [T, 2] float, draw [T-1] bool) where draw[i] is True iff
+    the segment xy[i] -> xy[i+1] is part of the rendered polyline under
+    show_strokes' contract (reference utils/vis.py:5-36): segments ending
+    at a pen-up point are skipped, and nothing at-or-after the LAST pen-up
+    point is drawn. A sequence with no pen-up point draws nothing
+    (reference loop quirk). Shared by the PNG renderer, the SVG writer,
+    and the metrics rasterizer (dhg.metrics.rasterize_strokes).
+    """
+    seq = np.asarray(strokes, dtype=float)
+    xy = np.cumsum(seq[:, :2], axis=0)
+    draw = np.zeros(max(len(seq) - 1, 0), dtype=bool)
+    pen_up = np.flatnonzero(seq[:, 2].round() == 1)
+    if pen_up.size:
+        last = pen_up[-1]
+        draw[: max(last - 1, 0)] = True  # segments ending at 1..last-1
+        draw[pen_up[pen_up < last] - 1] = False  # ...except into a pen-up
+    return xy, draw
+
+
+def strokes_to_svg(
+    strokes: np.ndarray,
+    stroke_width: float = 1.5,
+    color: str = "black",
+    scale: float = 1.0,
+    pad: float = 4.0,
+) -> str:
+    """Render a [T, 3] (dx, dy, pen) sequence to an SVG document string.
+
+    Capability superset of the reference (whose only renderer is the
+    matplotlib PNG, utils/vis.py:5-36): strokes are intrinsically vector
+    data, so the natural lossless export is a vector format. Ink geometry
+    matches show_strokes exactly (same drawn segments; y-up flipped to
+    SVG's y-down); one <path> holds every polyline as M/L subpaths.
+    """
+    xy, draw = drawn_segments(strokes)
+    if not draw.any():
+        return (
+            '<svg xmlns="http://www.w3.org/2000/svg" '
+            f'width="{2 * pad:.0f}" height="{2 * pad:.0f}"/>'
+        )
+    pts = np.concatenate([xy[:-1][draw], xy[1:][draw]], axis=0)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    w = (hi[0] - lo[0]) * scale + 2 * pad
+    h = max((hi[1] - lo[1]) * scale, 1e-6) + 2 * pad
+    to_x = lambda v: pad + (v - lo[0]) * scale
+    to_y = lambda v: pad + (hi[1] - v) * scale  # y-up -> y-down
+
+    # Consecutive drawn segments share points: emit one M per run.
+    parts: list[str] = []
+    pen_down = False
+    for i, d in enumerate(draw):
+        if not d:
+            pen_down = False
+            continue
+        if not pen_down:
+            parts.append(f"M{to_x(xy[i, 0]):.2f} {to_y(xy[i, 1]):.2f}")
+            pen_down = True
+        parts.append(f"L{to_x(xy[i + 1, 0]):.2f} {to_y(xy[i + 1, 1]):.2f}")
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w:.2f}" '
+        f'height="{h:.2f}" viewBox="0 0 {w:.2f} {h:.2f}">'
+        f'<path d="{" ".join(parts)}" fill="none" stroke="{color}" '
+        f'stroke-width="{stroke_width}" stroke-linecap="round" '
+        'stroke-linejoin="round"/></svg>'
+    )
+
+
+def save_strokes(
+    strokes: np.ndarray,
+    name: str,
+    fmt: str = "png",
+    show_output: bool = False,
+    scale: int = 1,
+) -> str:
+    """Save a stroke sequence as <name>.png (matplotlib, reference-parity
+    pixels) or <name>.svg (vector). Returns the written path."""
+    import os
+
+    if fmt == "svg":
+        target = f"{name}.svg" if os.path.isabs(str(name)) else f"./{name}.svg"
+        with open(target, "w") as f:
+            f.write(strokes_to_svg(strokes, scale=float(scale)))
+        return target
+    if fmt != "png":
+        raise ValueError(f"unknown format {fmt!r} (expected png or svg)")
+    show_strokes(strokes, name=name, show_output=show_output, scale=scale)
+    target = f"{name}.png" if os.path.isabs(str(name)) else f"./{name}.png"
+    return target
+
+
 def show_strokes(
     strokes: np.ndarray,
     name: str = "",

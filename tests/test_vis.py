@@ -58,3 +58,53 @@ def test_png_written(tmp_path, monkeypatch):
     strokes[-1, 2] = 1.0
     vis.show_strokes(strokes, name="out", show_output=False)
     assert (tmp_path / "out.png").exists()
+
+
+def _seq(dxs, dys, pens):
+    return np.stack(
+        [np.asarray(dxs, float), np.asarray(dys, float), np.asarray(pens, float)],
+        axis=1,
+    )
+
+
+def test_svg_structure_and_pen_breaks():
+    # Two dashes with a pen-up jump between them -> two M subpaths.
+    seq = _seq([0, 5, 5, 9, 5, 5, 0], [0] * 7, [0, 0, 0, 1, 0, 0, 1])
+    svg = vis.strokes_to_svg(seq)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("M") == 2  # one pen-down run per dash
+    assert 'fill="none"' in svg
+
+    # Same drawn segments as the PNG renderer's contract.
+    _, draw = vis.drawn_segments(seq)
+    n_L = svg.count("L")
+    assert n_L == int(draw.sum())
+
+
+def test_svg_y_axis_flipped():
+    # A stroke moving UP (dy > 0) must move toward SMALLER svg y.
+    seq = _seq([1, 1, 1, 0], [0, 3, 3, 0], [0, 0, 0, 1])
+    svg = vis.strokes_to_svg(seq, pad=0.0)
+    import re
+
+    ys = [float(m) for m in re.findall(r"[ML]\S+ (\d+\.\d+)", svg)]
+    assert ys == sorted(ys, reverse=True)
+
+
+def test_svg_no_pen_up_is_empty_document():
+    svg = vis.strokes_to_svg(_seq([1, 1], [1, 1], [0, 0]))
+    assert "<path" not in svg
+
+
+def test_save_strokes_svg_and_png(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    seq = _seq([0, 2, 2, 0], [0, 1, -1, 0], [0, 0, 0, 1])
+    p_svg = vis.save_strokes(seq, "out", fmt="svg")
+    assert (tmp_path / "out.svg").exists()
+    assert p_svg.endswith("out.svg")
+    p_png = vis.save_strokes(seq, "out", fmt="png")
+    assert (tmp_path / "out.png").exists() and p_png.endswith("out.png")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vis.save_strokes(seq, "out", fmt="pdf")
