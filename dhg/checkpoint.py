@@ -56,24 +56,34 @@ class AsyncSaver:
             item = self._q.get()
             if item is None:
                 return
-            path, kwargs = item
+            path, kwargs, keep = item
             try:
                 save_checkpoint(path, **kwargs)
+                if keep:
+                    # Prune ONLY after this save landed — a retention policy
+                    # must never leave fewer than `keep` complete numbered
+                    # checkpoints on disk.
+                    prune_numbered_checkpoints(Path(path).parent, keep)
             except Exception as e:  # pragma: no cover
                 logger.warning("async checkpoint save failed for %s: %s", path, e)
                 self._err = e
             finally:
                 self._q.task_done()
 
-    def submit(self, path, params, opt_state=None, ema_params=None, **kwargs):
+    def submit(self, path, params, opt_state=None, ema_params=None, keep=None, **kwargs):
         # Snapshot to host numpy NOW: the train loop donates these buffers
         # to the next step, so reading them later from the worker thread
         # would hit invalidated memory.
+        #
+        # keep (training_args.keep_checkpoints — superset; the reference
+        # keeps everything): after this save completes, retain only the
+        # `keep` highest-numbered checkpoint_<N> siblings. Named saves
+        # (model_final / model_last / checkpoint_last) are never pruned.
         if opt_state is not None:
             kwargs["opt_state"] = _to_numpy(opt_state)
         if ema_params is not None:
             kwargs["ema_params"] = _to_numpy(ema_params)
-        self._q.put((path, {"params": _to_numpy(params), **kwargs}))
+        self._q.put((path, {"params": _to_numpy(params), **kwargs}, keep))
 
     def wait(self):
         self._q.join()
@@ -98,6 +108,31 @@ def _to_numpy(tree):
             except Exception:  # backends without async D2H: fall through
                 break
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def prune_numbered_checkpoints(exp_dir: Path | str, keep: int) -> list[Path]:
+    """Delete all but the `keep` highest-numbered checkpoint_<N> dirs.
+
+    Retention superset (training_args.keep_checkpoints): bounds run-dir
+    disk growth on long runs. Touches ONLY directories whose name is
+    exactly `checkpoint_<digits>` — model_final / model_last /
+    checkpoint_last and anything else in the run dir are never candidates.
+    Returns the pruned paths."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError(f"keep_checkpoints must be >= 1, got {keep}")
+    numbered = []
+    for p in Path(exp_dir).glob("checkpoint_*"):
+        suffix = p.name.split("_", 1)[1]
+        if suffix.isdigit() and p.is_dir():
+            numbered.append((int(suffix), p))
+    numbered.sort()
+    doomed = [p for _, p in numbered[:-keep]]
+    for p in doomed:
+        logger.info("Pruning old checkpoint %s (keep_checkpoints=%d)", p, keep)
+        shutil.rmtree(p, ignore_errors=True)
+    return doomed
 
 
 def save_checkpoint(

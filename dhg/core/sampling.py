@@ -127,6 +127,7 @@ def diffusion_sample(
     dtype=jnp.float32,
     step_ctx=None,
     sample_keys: jax.Array | None = None,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """Run the full reverse-diffusion loop as one lax.scan.
 
@@ -146,6 +147,12 @@ def diffusion_sample(
       sample_keys: optional [B] per-sample keys replacing `key` — each
         batch row gets its own independent noise stream (see
         per_sample_noise_streams). Used by the serving batcher.
+      temperature: sampling temperature (capability superset; the
+        reference always samples at 1.0). Scales the initial x_T AND all
+        injected per-step noise by the factor — < 1 trades diversity for
+        neater, lower-variance handwriting (the diffusion analogue of
+        Graves-style RNN sampling bias), > 1 the reverse. Applied at
+        trace time: 1.0 compiles the exact default program.
 
     Returns:
       strokes [B, T, 3]: (dx, dy) from the final x plus the last step's
@@ -172,6 +179,10 @@ def diffusion_sample(
         noises = jax.vmap(
             lambda kk: jax.random.normal(kk, (batch_size, seq_len, 2), dtype)
         )(step_keys)
+
+    if temperature != 1.0:  # trace-time: 1.0 keeps the default program exact
+        x0 = x0 * jnp.asarray(temperature, dtype)
+        noises = noises * jnp.asarray(temperature, dtype)
 
     # Scan runs t = 0..n-1 over reversed schedule index i = n-1-t.
     idxs = jnp.arange(n - 1, -1, -1)

@@ -65,6 +65,51 @@ def gather_batch(arrays, key: jax.Array, batch_size: int):
     )
 
 
+def augment_matrices(
+    key: jax.Array,
+    n: int,
+    scale: float = 0.0,
+    rotate: float = 0.0,
+    shear: float = 0.0,
+) -> jax.Array:
+    """Per-sample 2x2 linear maps for on-device stroke augmentation.
+
+    A_i = R(theta_i) @ Shear(h_i) @ (s_i * I) with theta ~ U(-rotate, rotate)
+    radians, h ~ U(-shear, shear), s ~ U(1-scale, 1+scale). Returns f32
+    [n, 2, 2]. All-zero knobs give exact identity matrices.
+
+    Strokes are stored as (dx, dy) deltas, so a linear map applied to the
+    deltas IS the same map applied to the absolute trajectory (linearity
+    commutes with differencing) — and padding rows (0, 0, pen=1;
+    reference utils/preprocessing.py:20-26) map to (0, 0), so the padding
+    contract survives augmentation untouched.
+    """
+    k_s, k_r, k_h = jax.random.split(key, 3)
+    s = 1.0 + jax.random.uniform(k_s, (n,), minval=-scale, maxval=scale)
+    theta = jax.random.uniform(k_r, (n,), minval=-rotate, maxval=rotate)
+    h = jax.random.uniform(k_h, (n,), minval=-shear, maxval=shear)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # R @ Shear, then the isotropic scale folds in as a scalar factor.
+    a00 = cos
+    a01 = cos * h - sin
+    a10 = sin
+    a11 = sin * h + cos
+    rows = jnp.stack(
+        [jnp.stack([a00, a01], -1), jnp.stack([a10, a11], -1)], axis=1
+    )  # [n, 2, 2]
+    return rows * s[:, None, None]
+
+
+def augment_strokes(key: jax.Array, strokes3: jax.Array, **knobs) -> jax.Array:
+    """Apply per-sample augment_matrices to the (dx, dy) channels of a
+    [B, T, 3] stroke batch; the pen channel passes through unchanged.
+    Jit-traceable — designed to run INSIDE the jitted train step (zero
+    host cost; the reference has no augmentation at all)."""
+    mats = augment_matrices(key, strokes3.shape[0], **knobs)
+    xy = jnp.einsum("btc,bdc->btd", strokes3[..., :2], mats)
+    return jnp.concatenate([xy, strokes3[..., 2:]], axis=-1)
+
+
 def synthetic_cache(
     n: int = 64,
     max_seq_len: int = 480,

@@ -43,10 +43,11 @@ def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
     return denoise
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7, 9, 11))
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 9, 11, 12))
 def _sample_jit(
     model, params, cond_inputs, batch_size, seq_len, key, beta_set, mode,
     guidance_scale=None, encoder_reuse=None, sample_keys=None, hoist="compact",
+    temperature=1.0,
 ):
     """One XLA program for the whole sampler, with conditioning hoisted.
 
@@ -253,6 +254,7 @@ def _sample_jit(
         step_ctx=step_ctx,
         dtype=x_dtype,
         sample_keys=sample_keys,
+        temperature=temperature,
     )
 
 
@@ -271,8 +273,14 @@ def generate(
     hoist: str | None = None,
     n_steps: int | None = None,
     schedule: str = "strided",
+    temperature: float | None = None,
 ) -> jnp.ndarray:
     """Sample stroke sequences [B, seq_len, 3] for tokenized prompts.
+
+    temperature: sampling temperature (superset; None/1.0 = the reference
+    behavior, same compiled program). Scales x_T and all injected noise —
+    < 1 gives neater, lower-variance handwriting, > 1 wilder; see
+    dhg.core.sampling.diffusion_sample.
 
     n_steps: optional strided sub-schedule — run n_steps < 60 denoiser
     calls on a coarsened beta table that hits the same alpha_bar endpoints
@@ -316,6 +324,11 @@ def generate(
         guidance_scale = None  # g=1 is exactly the unguided sampler
     if hoist is None:
         hoist = "compact"
+    # tau == 1 normalizes to the default so the jit cache key (static arg)
+    # is shared with callers that never heard of temperature.
+    temperature = 1.0 if temperature is None else float(temperature)
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     beta_set = None
     if n_steps is not None:
         from dhg.core.schedule import N_STEPS, halved_beta_set, strided_beta_set
@@ -355,6 +368,7 @@ def generate(
         encoder_reuse,
         sample_keys,
         hoist,
+        temperature,
     )
 
 
@@ -371,6 +385,7 @@ def sample_lines(
     mesh=None,
     n_steps: int | None = None,
     schedule: str = "strided",
+    temperature: float | None = None,
 ) -> list[np.ndarray]:
     """Batched varied-length sampling (BASELINE config 2).
 
@@ -397,6 +412,7 @@ def sample_lines(
         mesh=mesh,
         n_steps=n_steps,
         schedule=schedule,
+        temperature=temperature,
     )
     arr = np.asarray(out)
     return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
@@ -440,6 +456,7 @@ def infer(
     schedule: str | None = None,
     prompts_file: str | None = None,
     format: str = "png",
+    temperature: float | None = None,
 ) -> np.ndarray | list[np.ndarray]:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
 
@@ -468,6 +485,10 @@ def infer(
 
     use_ema: prefer the checkpoint's EMA weights when present (see
     dhg.checkpoint.load_model); --use_ema=False forces raw params.
+
+    temperature: sampling temperature (superset; None/1.0 = reference
+    behavior). < 1 = neater, lower-variance handwriting; > 1 = wilder.
+    Scales x_T and all injected sampler noise (dhg.core.sampling).
     """
     if experiment_path:
         exp = Path(experiment_path)
@@ -532,6 +553,7 @@ def infer(
             guidance_scale=guidance_scale,
             n_steps=n_steps,
             schedule=schedule,
+            temperature=temperature,
         )
         for i, arr in enumerate(lines):
             save_strokes(arr, f"{output}_{i:03d}", fmt=format, show_output=show)
@@ -553,6 +575,7 @@ def infer(
         guidance_scale=guidance_scale,
         n_steps=n_steps,
         schedule=schedule,
+        temperature=temperature,
     )
     result = np.asarray(strokes[0])
     save_strokes(result, output, fmt=format, show_output=show)

@@ -2,13 +2,15 @@
 
     python -m dhg.serve --experiment_path=<run dir> [--port=8008] \
         [--source=<style image>] [--warmup_buckets=200,400] \
-        [--warm_steps=30] [--warm_modes=new,standard,ddim]
+        [--warm_steps=30] [--warm_modes=new,standard,ddim] \
+        [--warm_temps=0.7,1.3]
 
 Loads the model once, precompiles the sampler for a set of sequence-length
 buckets (so first requests don't pay compile latency), then serves:
 
   POST /generate   {"prompt": str, "seed": int?, "diffusion_mode": str?,
-                    "guidance_scale": float?, "n_steps": int?}
+                    "guidance_scale": float?, "n_steps": int?,
+                    "temperature": float?}
       -> {"strokes": [[dx, dy, pen], ...], "seq_len": int, "ms": float}
   GET  /healthz    -> {"ok": true, "buckets": [...], "stats": {...}}
 
@@ -34,7 +36,10 @@ default just the canonical 60) and rejects others with 400 — keeping the
 no-live-compile guarantee intact rather than letting one exotic request
 head-of-line-block the batcher for a multi-minute remote compile.
 diffusion_mode is allowlisted the same way (--warm_modes, default
-new+standard; add "ddim" to serve the deterministic DDIM sampler).
+new+standard; add "ddim" to serve the deterministic DDIM sampler), and so
+is sampling temperature (--warm_temps; 1.0 — the reference behavior — is
+always allowed; a request's "temperature" scales x_T and all injected
+noise for neater/wilder handwriting, dhg.core.sampling).
 
 Graceful shutdown: SIGTERM (what cluster preemption sends) or SIGINT stops
 the listener, drains — new requests get 503, queued + in-flight ones finish
@@ -83,6 +88,7 @@ class _Pending:
     guidance: float | None
     bucket: int
     n_steps: int | None = None  # None = canonical 60-step schedule
+    temperature: float = 1.0  # sampling temperature (static jit arg)
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     seq_len: int = 0
@@ -92,8 +98,9 @@ class _Pending:
         # Bucket is part of the key: a request's noise stream depends on the
         # sequence length it samples at, so co-batching across buckets would
         # break the solo-vs-batched determinism contract. n_steps changes
-        # both the program (scan length) and the noise draw count.
-        return (self.mode, self.guidance, self.bucket, self.n_steps)
+        # both the program (scan length) and the noise draw count;
+        # temperature is a static jit arg (distinct compiled program).
+        return (self.mode, self.guidance, self.bucket, self.n_steps, self.temperature)
 
 
 class GenerationService:
@@ -132,6 +139,11 @@ class GenerationService:
         # compile a fresh program (identical to "new" — unknown modes
         # fall through) mid-request. Empty = no warmup ran, accept all.
         self.allowed_modes: set[str] = set()
+        # Sampling temperatures accepted from requests. Temperature is a
+        # static jit arg like n_steps (distinct program per value), so only
+        # warmed values are accepted; 1.0 is the default program, always
+        # allowed. Extras land here via warmup(temps=...).
+        self.allowed_temps: set[float] = {1.0}
         self.stats = {
             "requests": 0,
             "batches": 0,
@@ -203,7 +215,8 @@ class GenerationService:
         return n
 
     def warmup(self, buckets: list[int], modes: tuple[str, ...] = ("new", "standard"),
-               guided: bool = False, steps: tuple[int, ...] = ()) -> None:
+               guided: bool = False, steps: tuple[int, ...] = (),
+               temps: tuple[float, ...] = ()) -> None:
         """Precompile every (bucket, padded batch size, mode) sampler program
         so no live request — solo or co-batched — pays compile latency for a
         warmed variant. Round-2 measurement: without the batch-size warmup,
@@ -230,32 +243,42 @@ class GenerationService:
 
         steps: extra fewer-step n_steps values to warm and thereafter
         accept from requests (each multiplies the program count by the
-        bucket x mode x batch grid, hence opt-in and empty by default)."""
+        bucket x mode x batch grid, hence opt-in and empty by default).
+
+        temps: extra sampling temperatures to warm/accept, same contract
+        as steps (temperature is a static jit arg; 1.0 = the default
+        program, always allowed)."""
         from dhg.core.schedule import N_STEPS
 
         scales = [None] + ([2.0] if guided else [])
         steps_values = [None] + sorted({int(s) for s in steps} - {N_STEPS})
+        temp_values = [1.0] + sorted({float(t) for t in temps} - {1.0})
         self._warming = True
         try:
             for seq_len in buckets:
                 for mode in modes:
                     for g in scales:
                         for k in steps_values:
-                            for b in BATCH_SIZES:
-                                group = [
-                                    _Pending([3, 1], i, mode, g, seq_len, n_steps=k)
-                                    for i in range(b)
-                                ]
-                                with self._cv:
-                                    self._queue.extend(group)
-                                    self._cv.notify_all()
-                                for p in group:
-                                    p.done.wait()
-                                    if p.error is not None:
-                                        raise p.error
+                            for tau in temp_values:
+                                for b in BATCH_SIZES:
+                                    group = [
+                                        _Pending(
+                                            [3, 1], i, mode, g, seq_len,
+                                            n_steps=k, temperature=tau,
+                                        )
+                                        for i in range(b)
+                                    ]
+                                    with self._cv:
+                                        self._queue.extend(group)
+                                        self._cv.notify_all()
+                                    for p in group:
+                                        p.done.wait()
+                                        if p.error is not None:
+                                            raise p.error
                 self.buckets.append(seq_len)
             self.allowed_steps.update(steps_values)
             self.allowed_modes.update(modes)
+            self.allowed_temps.update(temp_values)
         finally:
             self._warming = False
         with self._cv:  # warmup traffic is not serving traffic
@@ -267,7 +290,7 @@ class GenerationService:
     # -- the batched sampler call --------------------------------------------
 
     def _run_bucket(self, token_lists, seeds, seq_len, mode, guidance,
-                    n_steps=None) -> np.ndarray:
+                    n_steps=None, temperature=1.0) -> np.ndarray:
         """ONE sampler program for a group of requests sharing a bucket."""
         from dhg.inference import generate
 
@@ -293,6 +316,7 @@ class GenerationService:
             sample_keys=keys,
             n_steps=n_steps,
             schedule=self.schedule,
+            temperature=temperature,
         )
         return np.asarray(out[:n])
 
@@ -335,6 +359,7 @@ class GenerationService:
                 group[0].mode,
                 group[0].guidance,
                 n_steps=group[0].n_steps,
+                temperature=group[0].temperature,
             )
             ms = (time.perf_counter() - t0) * 1000
             if ms > self.slow_ms and not self._warming:
@@ -397,6 +422,7 @@ class GenerationService:
         diffusion_mode: str | None = None,
         guidance_scale: float | None = None,
         n_steps: int | None = None,
+        temperature: float | None = None,
     ) -> tuple[np.ndarray, int, float]:
         # Distilled-student serving defaults (mirrors dhg.inference.infer):
         # an unspecified request samples on the student's own halved grid
@@ -426,12 +452,22 @@ class GenerationService:
                     f"{sorted(s for s in self.allowed_steps if s)} + {N_STEPS}); "
                     "start the server with --warm_steps to enable it"
                 )
+        temperature = 1.0 if temperature is None else float(temperature)
+        if temperature != 1.0 and temperature not in self.allowed_temps:
+            raise ValueError(
+                f"temperature={temperature} not warmed (allowed: "
+                f"{sorted(self.allowed_temps)}); start the server with "
+                "--warm_temps to enable it"
+            )
         bucket = self.bucket_for(len(tokens))
         # A prompt longer than every warmed bucket clamps (bucket_for): the
         # output is capped at the bucket length, i.e. the line may stop
         # mid-text. Surface that instead of returning a silently-short 200.
         truncated = bucket < infer_seq_len(len(tokens))
-        req = _Pending(tokens, seed, diffusion_mode, guidance_scale, bucket, n_steps)
+        req = _Pending(
+            tokens, seed, diffusion_mode, guidance_scale, bucket, n_steps,
+            temperature=temperature,
+        )
         t0 = time.perf_counter()
         with self._cv:
             if self._draining:
@@ -463,6 +499,7 @@ def make_handler(service: GenerationService):
                     {"ok": True, "buckets": sorted(service.buckets),
                      "warm_steps": sorted(s for s in service.allowed_steps if s),
                      "warm_modes": sorted(service.allowed_modes),
+                     "warm_temps": sorted(service.allowed_temps),
                      "stats": service.stats_snapshot()},
                 )
             else:
@@ -482,6 +519,7 @@ def make_handler(service: GenerationService):
                     diffusion_mode=req.get("diffusion_mode"),
                     guidance_scale=req.get("guidance_scale"),
                     n_steps=req.get("n_steps"),
+                    temperature=req.get("temperature"),
                 )
                 self._send(
                     200,
@@ -510,9 +548,9 @@ def make_handler(service: GenerationService):
 
 def serve(service: GenerationService, port: int = 8008, warmup_buckets=(200, 400),
           warmup_modes: tuple[str, ...] = ("new", "standard"), warmup_guided: bool = False,
-          warm_steps: tuple[int, ...] = ()):
+          warm_steps: tuple[int, ...] = (), warm_temps: tuple[float, ...] = ()):
     service.warmup(list(warmup_buckets), modes=warmup_modes, guided=warmup_guided,
-                   steps=warm_steps)
+                   steps=warm_steps, temps=warm_temps)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
     return httpd
 
@@ -538,6 +576,9 @@ def main(argv=None):
     raw_modes = kw.get("warm_modes", "new,standard")
     raw_modes = "" if raw_modes is None else str(raw_modes)
     warm_modes = tuple(m.strip() for m in raw_modes.split(",") if m.strip())
+    raw_temps = kw.get("warm_temps", "")
+    raw_temps = "" if raw_temps is None else str(raw_temps)
+    warm_temps = tuple(float(t) for t in raw_temps.split(",") if t.strip())
     if service.distilled_steps:
         # A distilled student's serving defaults are its own halved grid +
         # DDIM (generate_line) — warm them so the defaults never compile live.
@@ -546,7 +587,7 @@ def main(argv=None):
         if "ddim" not in warm_modes:
             warm_modes = warm_modes + ("ddim",)
     httpd = serve(service, port=int(kw.get("port", 8008)), warmup_buckets=buckets,
-                  warmup_modes=warm_modes, warm_steps=warm_steps)
+                  warmup_modes=warm_modes, warm_steps=warm_steps, warm_temps=warm_temps)
     print(f"dhg serving on 127.0.0.1:{httpd.server_address[1]} (buckets {buckets})")
 
     # Graceful shutdown on SIGTERM (cluster preemption) and SIGINT: stop

@@ -20,6 +20,7 @@ Re-designs the reference TrainingLoop (train.py:21-189) TPU-first:
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 from typing import Any
@@ -51,6 +52,14 @@ class TrainState:
     # Exponential moving average of params (training_args.ema_decay > 0);
     # None when EMA is off (the reference default — it has no EMA at all).
     ema_params: Any = None
+
+
+def _append_jsonl(path: Path, record: dict) -> None:
+    """Append one machine-readable metrics record (metrics.jsonl in the run
+    dir — observability superset; the reference only writes run.log text,
+    utils/log.py:44-60). Plot with `python -m dhg.tools.plot_run`."""
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
 
 
 def noam_schedule(d_model: int, warmup_steps: int, lr_mul: float = 1.0):
@@ -165,6 +174,12 @@ class Trainer:
         self.ema_decay = float(ta.ema_decay or 0.0)
         if not 0.0 <= self.ema_decay < 1.0:
             raise ValueError(f"ema_decay must be in [0, 1), got {self.ema_decay}")
+        self.grad_accum = int(ta.grad_accum or 1)
+        if self.grad_accum < 1 or self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"grad_accum ({self.grad_accum}) must be >= 1 and divide "
+                f"batch_size ({self.batch_size})"
+            )
 
         if mesh is None:
             mesh_cfg = ta.mesh if isinstance(ta.mesh, dict) else {}
@@ -267,14 +282,27 @@ class Trainer:
 
         cond_dropout = float(self.cfg.training_args.cond_dropout or 0.0)
         ema_decay = self.ema_decay
-        from dhg.data.pipeline import gather_batch
+        accum = int(self.cfg.training_args.grad_accum or 1)
+        # On-device stroke augmentation (dataset_args.augment — superset;
+        # the reference has none): per-sample rotate/scale/shear of the
+        # delta channels, fused into the jitted step so it costs one tiny
+        # einsum and zero host work. Off unless any knob is > 0.
+        aug_cfg = self.cfg.dataset_args.augment
+        aug = {
+            k: float((aug_cfg or {}).get(k) or 0.0) for k in ("scale", "rotate", "shear")
+        }
+        augment_on = any(v > 0.0 for v in aug.values())
+        from dhg.data.pipeline import augment_strokes, gather_batch
 
         def step(state: TrainState, key: jax.Array, arrays):
-            k_batch, k_alpha, k_eps, k_drop, k_cond = jax.random.split(key, 5)
+            ks = jax.random.split(key, 6 if augment_on else 5)
+            k_batch, k_alpha, k_eps, k_drop, k_cond = ks[:5]
             strokes3, text, style = gather_batch(arrays, k_batch, batch_size)
             strokes3 = jax.lax.with_sharding_constraint(strokes3, batch_spec)
             text = jax.lax.with_sharding_constraint(text, batch_spec)
             style = jax.lax.with_sharding_constraint(style, batch_spec)
+            if augment_on:
+                strokes3 = augment_strokes(ks[5], strokes3, **aug)
 
             if cond_dropout > 0.0:
                 # Classifier-free-guidance training: with prob p per sample,
@@ -304,9 +332,64 @@ class Trainer:
                 total, score, pen_loss = diffusion_loss(eps, eps_pred, pen, pen_pred, alphas)
                 return total, (score, pen_loss)
 
-            (total, (score, pen_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            if accum == 1:
+                (total, (score, pen_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params
+                )
+            else:
+                # Gradient accumulation (training_args.grad_accum — superset;
+                # the reference has none): the SAME batch/alpha/noise draws as
+                # accum=1, evaluated in batch_size/accum micro-chunks under a
+                # lax.scan so only one chunk's activations are live at a time.
+                # diffusion_loss is a per-sample mean, so the equal-chunk
+                # average of losses/grads equals the unsplit step EXACTLY when
+                # dropout is inactive (pinned in tests/test_grad_accum.py with
+                # dropout patched out). With live dropout — including the
+                # architectural 0.3 style dropout (TextStyleEncoder, reference
+                # text_style.py:91) — each chunk draws its own masks
+                # (fold_in(k_drop, chunk)), so the accumulated gradient is a
+                # different but equally unbiased sample of the same expected
+                # gradient. Memory drops ~accum-fold on the activation side;
+                # the grads accumulator adds one params-sized tree (~10M
+                # floats at the canonical config).
+                mb = batch_size // accum
+
+                def split_chunks(a):
+                    return a.reshape((accum, mb) + a.shape[1:])
+
+                chunks = jax.tree.map(split_chunks, (xt, text, alphas, style, eps, pen))
+
+                def micro_loss(params, chunk, k):
+                    xt_c, text_c, al_c, style_c, eps_c, pen_c = chunk
+                    eps_pred, pen_pred = model.apply(
+                        {"params": params},
+                        xt_c,
+                        text_c,
+                        jnp.sqrt(al_c),
+                        style_c,
+                        deterministic=False,
+                        rngs={"dropout": k},
+                    )
+                    total, score, pen_loss = diffusion_loss(
+                        eps_c, eps_pred, pen_c, pen_pred, al_c
+                    )
+                    return total, (score, pen_loss)
+
+                grad_micro = jax.value_and_grad(micro_loss, has_aux=True)
+
+                def body(carry, xs):
+                    grads_sum, loss_sum = carry
+                    chunk, i = xs
+                    (t, (s, p)), g = grad_micro(state.params, chunk, jax.random.fold_in(k_drop, i))
+                    grads_sum = jax.tree.map(jnp.add, grads_sum, g)
+                    return (grads_sum, loss_sum + jnp.stack([t, s, p])), None
+
+                zeros = jax.tree.map(jnp.zeros_like, state.params)
+                (grads_sum, loss_sum), _ = jax.lax.scan(
+                    body, (zeros, jnp.zeros((3,))), (chunks, jnp.arange(accum))
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads_sum)
+                total, score, pen_loss = loss_sum / accum
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             if ema_decay:
@@ -473,6 +556,16 @@ class Trainer:
                             f"Pen: {vals[2]:.3f} | "
                             f"Time: {time.time() - s:.3f} sec"
                         )
+                        _append_jsonl(
+                            exp_dir / "metrics.jsonl",
+                            {
+                                "step": c + 1,
+                                "loss": float(vals[0]),
+                                "score": float(vals[1]),
+                                "pen": float(vals[2]),
+                                "time": round(time.time() - s, 3),
+                            },
+                        )
                         window = []
                 if j0 < rows.shape[0]:
                     window.append(rows[j0:])
@@ -492,6 +585,15 @@ class Trainer:
                         f"Step {count + 1} | Val Loss: {v[0]:.3f} | "
                         f"Val Score: {v[1]:.3f} | Val Pen: {v[2]:.3f}"
                     )
+                    _append_jsonl(
+                        exp_dir / "metrics.jsonl",
+                        {
+                            "step": count + 1,
+                            "val_loss": float(v[0]),
+                            "val_score": float(v[1]),
+                            "val_pen": float(v[2]),
+                        },
+                    )
 
                 if (count + 1) % ta.save_freq == 0:
                     logger.info("Saving checkpoint...")
@@ -502,6 +604,7 @@ class Trainer:
                         step=count + 1,
                         meta={"run_name": meta.get("run_name", "")},
                         ema_params=state.ema_params,
+                        keep=ta.keep_checkpoints,
                     )
 
             logger.info("Training finished, saving model weights.")

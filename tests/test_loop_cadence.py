@@ -117,6 +117,25 @@ def test_profiler_trace_written(train_run):
     assert any(p.is_file() for p in traces), f"no trace files under {prof_dir}"
 
 
+def test_metrics_jsonl_matches_log_cadence(train_run):
+    """metrics.jsonl (observability superset) carries one record per log
+    boundary with the same steps/values as the run-log lines."""
+    import json
+
+    messages, exp_dir, _ = train_run
+    rows = [json.loads(l) for l in (exp_dir / "metrics.jsonl").read_text().splitlines()]
+    ref_logs, _ = _reference_cadence(STEPS, LOG_FREQ, SAVE_FREQ)
+    assert [r["step"] for r in rows] == ref_logs
+    logged = {
+        int(m.group(1)): float(m.group(2))
+        for msg in messages
+        if (m := re.match(r"Step (\d+) \| Loss: (\d+\.\d{3})", msg))
+    }
+    for r in rows:
+        assert np.isclose(r["loss"], logged[r["step"]], atol=5e-4)
+        assert set(r) == {"step", "loss", "score", "pen", "time"}
+
+
 def test_final_loss_values_finite(train_run):
     messages, _, _ = train_run
     losses = [

@@ -137,6 +137,33 @@ def test_sample_under_jit():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_temperature_one_is_bit_identical():
+    key = jax.random.PRNGKey(5)
+    a = diffusion_sample(_dummy_denoiser, key, 2, 48)
+    b = diffusion_sample(_dummy_denoiser, key, 2, 48, temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_temperature_scales_stochastic_trajectory_linearly():
+    """With the linear dummy denoiser (eps_hat = x/2) every sampler update
+    is linear in (x, noise), so scaling both x_T and the injected noise by
+    tau scales the whole trajectory by exactly tau."""
+    key = jax.random.PRNGKey(6)
+    for mode in ("new", "standard", "ddim"):
+        full = np.asarray(diffusion_sample(_dummy_denoiser, key, 1, 24, mode=mode)[..., :2])
+        cool = np.asarray(
+            diffusion_sample(_dummy_denoiser, key, 1, 24, mode=mode, temperature=0.5)[..., :2]
+        )
+        np.testing.assert_allclose(cool, 0.5 * full, rtol=1e-5, atol=1e-6), mode
+
+
+def test_temperature_reduces_output_spread():
+    key = jax.random.PRNGKey(7)
+    hot = np.asarray(diffusion_sample(_dummy_denoiser, key, 4, 48, temperature=1.5)[..., :2])
+    cold = np.asarray(diffusion_sample(_dummy_denoiser, key, 4, 48, temperature=0.3)[..., :2])
+    assert cold.std() < hot.std()
+
+
 def test_per_sample_keys_match_single_key_at_b1():
     """sample_keys=[PRNGKey(s)] at B=1 reproduces key=PRNGKey(s) exactly
     (jax.random streams depend on element count, not shape) — the serving

@@ -27,7 +27,10 @@ def server():
     service = GenerationService(model, params, jnp.zeros((1, 14, 1280)))
     # port 0: ephemeral. warm_steps=(30,) also warms + allowlists the
     # 30-step strided programs (fewer-step serving tests below).
-    httpd = serve(service, port=0, warmup_buckets=[104], warm_steps=(30,))
+    # warm_temps=(0.5,) also warms + allowlists the tau=0.5 programs
+    # (temperature serving tests below).
+    httpd = serve(service, port=0, warmup_buckets=[104], warm_steps=(30,),
+                  warm_temps=(0.5,))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -180,6 +183,41 @@ def test_unwarmed_n_steps_rejected_400(server):
     allowlist is rejected up front, never head-of-line-blocking the
     batcher with a fresh compile."""
     status, body = _post(server + "/generate", {"prompt": "abc", "n_steps": 15})
+    assert status == 400
+    assert "not warmed" in body["error"]
+
+
+def test_healthz_reports_warm_temps(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["warm_temps"] == [0.5, 1.0]
+
+
+def test_temperature_request_served_when_warmed(server):
+    """tau=0.5 was warmed: the request samples with scaled noise and its
+    strokes genuinely differ from (and are tighter than) the tau=1 default."""
+    s1, b1 = _post(server + "/generate", {"prompt": "abc", "seed": 31})
+    s2, b2 = _post(server + "/generate", {"prompt": "abc", "seed": 31, "temperature": 0.5})
+    assert s1 == s2 == 200
+    hot, cool = np.asarray(b1["strokes"]), np.asarray(b2["strokes"])
+    assert hot.shape == cool.shape == (72, 3)
+    assert b1["strokes"] != b2["strokes"]
+    assert cool[:, :2].std() < hot[:, :2].std()
+
+
+def test_temperature_one_always_allowed_and_identical(server):
+    """temperature=1.0 normalizes to the default program — bit-identical
+    strokes without needing to be warmed."""
+    _, b_default = _post(server + "/generate", {"prompt": "abc", "seed": 32})
+    status, b1 = _post(server + "/generate", {"prompt": "abc", "seed": 32, "temperature": 1.0})
+    assert status == 200
+    assert b1["strokes"] == b_default["strokes"]
+
+
+def test_unwarmed_temperature_rejected_400(server):
+    """Temperature is a STATIC jit arg — an un-warmed value would compile a
+    fresh program mid-request, so it is rejected up front."""
+    status, body = _post(server + "/generate", {"prompt": "abc", "temperature": 2.0})
     assert status == 400
     assert "not warmed" in body["error"]
 
