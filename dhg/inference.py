@@ -457,6 +457,8 @@ def infer(
     prompts_file: str | None = None,
     format: str = "png",
     temperature: float | None = None,
+    source2: str | None = None,
+    style_mix: float | None = None,
 ) -> np.ndarray | list[np.ndarray]:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
 
@@ -489,6 +491,15 @@ def infer(
     temperature: sampling temperature (superset; None/1.0 = reference
     behavior). < 1 = neater, lower-variance handwriting; > 1 = wilder.
     Scales x_T and all injected sampler noise (dhg.core.sampling).
+
+    source2 / style_mix: style interpolation (superset — the reference
+    conditions on exactly one style image, inference.py:69-70). With
+    --source2, the conditioning style vector becomes the linear blend
+    (1 - style_mix) * style(source) + style_mix * style(source2) in the
+    StyleExtractor's [1, 14, 1280] feature space (style_mix defaults to
+    0.5; 0 reproduces --source exactly, 1 reproduces --source2; values
+    outside [0, 1] extrapolate). The sampler program is unchanged — the
+    blend happens on the conditioning input, so this costs nothing.
     """
     if experiment_path:
         exp = Path(experiment_path)
@@ -534,9 +545,18 @@ def infer(
     if source is None:
         raise ValueError("source (writer-style image) is required")
 
+    if style_mix is not None and source2 is None:
+        raise ValueError("style_mix requires source2 (a second style image)")
+
     style = jnp.asarray(
         style_from_image(source, style_weights=style_weights, strict=strict_style)
     )
+    if source2 is not None:
+        mix = 0.5 if style_mix is None else float(style_mix)
+        style2 = jnp.asarray(
+            style_from_image(source2, style_weights=style_weights, strict=strict_style)
+        )
+        style = (1.0 - mix) * style + mix * style2
 
     if prompts_file is not None:
         prompts = [ln for ln in Path(prompts_file).read_text().splitlines() if ln.strip()]

@@ -124,6 +124,45 @@ def test_infer_prompts_file_batched(tiny_experiment, tmp_path, monkeypatch):
     assert all(np.all(np.isfinite(o)) for o in outs)
 
 
+def test_infer_style_mix(tiny_experiment, tmp_path, monkeypatch):
+    """--source2/--style_mix blends two style vectors: mix=0 reproduces
+    source, mix=1 reproduces source2, and the 0.5 default differs from
+    both (superset of the reference's single-style conditioning)."""
+    import cv2
+
+    from dhg.inference import infer
+
+    def style_img(path, freq):
+        img = np.full((96, 400), 255, np.uint8)
+        xs = np.linspace(10, 390, 300).astype(int)
+        ys = (48 + 30 * np.sin(xs / freq)).astype(int).clip(5, 90)
+        img[ys, xs] = 0
+        cv2.imwrite(str(path), img)
+        return str(path)
+
+    src_a = style_img(tmp_path / "a.png", 15.0)
+    src_b = style_img(tmp_path / "b.png", 7.0)
+
+    monkeypatch.chdir(tmp_path)
+    common = dict(
+        prompt="ab", experiment_path=str(tiny_experiment), seed=5, output="mix"
+    )
+    out_a = infer(source=src_a, **common)
+    out_b = infer(source=src_b, **common)
+    out_mix0 = infer(source=src_a, source2=src_b, style_mix=0.0, **common)
+    out_mix1 = infer(source=src_a, source2=src_b, style_mix=1.0, **common)
+    out_half = infer(source=src_a, source2=src_b, **common)  # default 0.5
+
+    np.testing.assert_allclose(out_mix0, out_a, atol=1e-5)
+    np.testing.assert_allclose(out_mix1, out_b, atol=1e-5)
+    assert not np.allclose(out_half, out_a, atol=1e-5)
+    assert not np.allclose(out_half, out_b, atol=1e-5)
+    assert np.all(np.isfinite(out_half))
+
+    with pytest.raises(ValueError, match="style_mix requires source2"):
+        infer(source=src_a, style_mix=0.5, **common)
+
+
 def test_infer_prompt_xor_prompts_file(tiny_experiment, tmp_path):
     from dhg.inference import infer
 
