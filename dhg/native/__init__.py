@@ -65,6 +65,22 @@ def get_lib() -> ctypes.CDLL | None:
     lib.dhg_simplify_strokes.restype = ctypes.c_int64
     lib.dhg_combine_strokes.argtypes = [dbl_p, ctypes.c_int64, ctypes.c_int64, dbl_p]
     lib.dhg_combine_strokes.restype = ctypes.c_int64
+    lib.dhg_parse_strokes_xml.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        dbl_p,
+        ctypes.c_int64,
+    ]
+    lib.dhg_parse_strokes_xml.restype = ctypes.c_int64
+    lib.dhg_parse_and_simplify.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_double,
+        dbl_p,
+        ctypes.c_int64,
+    ]
+    lib.dhg_parse_and_simplify.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -93,3 +109,30 @@ def combine_strokes_native(xyz: np.ndarray, n_merge: int):
     out = np.empty_like(xyz)
     n_out = lib.dhg_combine_strokes(_as_c(xyz), xyz.shape[0], n_merge, _as_c(out))
     return out[:n_out].copy()
+
+
+def parse_strokes_xml_native(path, passes: int | None = None, frac: float = 0.2):
+    """Native IAM stroke-XML parse -> [N, 3] normalized (dx, -dy, pen) deltas.
+
+    passes=None parses only (pre-simplify stage of utils/io.py:11-59);
+    passes=k runs parse + k combine passes in ONE native call. Returns None
+    when the library is unavailable OR the file surprises the targeted
+    scanner (no StrokeSet, malformed tag/coordinate, <2 points) — the
+    caller then falls back to the ElementTree reference path, so the
+    native fast path can never silently diverge on odd input.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = Path(path).read_bytes()
+    max_rows = data.count(b"<Point") + 1  # upper bound (may count comments)
+    if max_rows < 2:
+        return None
+    out = np.empty((max_rows, 3), dtype=np.float64)
+    if passes is None:
+        n = lib.dhg_parse_strokes_xml(data, len(data), _as_c(out), max_rows)
+    else:
+        n = lib.dhg_parse_and_simplify(data, len(data), passes, frac, _as_c(out), max_rows)
+    if n < 0:
+        return None
+    return out[:n].copy()

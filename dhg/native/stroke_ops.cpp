@@ -12,10 +12,14 @@
 // both paths produce bit-identical merge choices.
 
 #include <algorithm>
+#include <cctype>
+#include <cerrno>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <string>
 #include <vector>
 
 namespace {
@@ -90,9 +94,226 @@ int64_t combine_pass(std::vector<double>& xyz, int64_t n, int64_t n_merge) {
   return n_out;
 }
 
+// ---------------------------------------------------------------------------
+// IAM stroke-XML parsing (reference utils/io.py:11-66).
+//
+// A targeted scanner for the IAM lineStrokes format — not a general XML
+// parser. It understands exactly what ElementTree extracts on these files:
+// <Point x y> elements that are children of <Stroke> elements inside the
+// <StrokeSet>, in document order. Comments, <?...?> declarations, CDATA and
+// quoted attribute values (either quote style, any attribute order, extra
+// attributes like time="...") are handled; on ANY structural surprise the
+// parse returns a negative code and the Python caller falls back to the
+// ElementTree reference path, so divergence is impossible by construction.
+// ---------------------------------------------------------------------------
+
+struct Tag {
+  const char* name;
+  int64_t name_len;
+  const char* attrs;
+  const char* attrs_end;
+  bool closing;
+  bool self_closing;
+};
+
+// Advance `p` to just past the next element tag, filling `tag`.
+// Returns 0 = tag found, 1 = clean EOF, -1 = malformed/unterminated.
+int next_tag(const char*& p, const char* end, Tag& tag) {
+  while (true) {
+    const void* lt = memchr(p, '<', static_cast<size_t>(end - p));
+    if (lt == nullptr) {
+      p = end;
+      return 1;
+    }
+    p = static_cast<const char*>(lt);
+    if (end - p >= 4 && memcmp(p, "<!--", 4) == 0) {
+      const char* c = p + 4;
+      while (c + 3 <= end && memcmp(c, "-->", 3) != 0) ++c;
+      if (c + 3 > end) return -1;
+      p = c + 3;
+      continue;
+    }
+    if (end - p >= 9 && memcmp(p, "<![CDATA[", 9) == 0) {
+      const char* c = p + 9;
+      while (c + 3 <= end && memcmp(c, "]]>", 3) != 0) ++c;
+      if (c + 3 > end) return -1;
+      p = c + 3;
+      continue;
+    }
+    if (end - p >= 2 && (p[1] == '?' || p[1] == '!')) {
+      // Declaration / DOCTYPE: skip to '>' (IAM files have no nesting here).
+      const void* gt = memchr(p, '>', static_cast<size_t>(end - p));
+      if (gt == nullptr) return -1;
+      p = static_cast<const char*>(gt) + 1;
+      continue;
+    }
+    break;
+  }
+  const char* q = p + 1;
+  tag.closing = (q < end && *q == '/');
+  if (tag.closing) ++q;
+  tag.name = q;
+  while (q < end && (std::isalnum(static_cast<unsigned char>(*q)) || *q == '_' ||
+                     *q == ':' || *q == '-' || *q == '.')) {
+    ++q;
+  }
+  tag.name_len = q - tag.name;
+  if (tag.name_len == 0) return -1;
+  tag.attrs = q;
+  char quote = 0;
+  const char* r = q;
+  while (r < end) {
+    const char c = *r;
+    if (quote != 0) {
+      if (c == quote) quote = 0;
+    } else if (c == '"' || c == '\'') {
+      quote = c;
+    } else if (c == '>') {
+      break;
+    }
+    ++r;
+  }
+  if (r >= end) return -1;
+  tag.self_closing = (r > q && r[-1] == '/');
+  tag.attrs_end = tag.self_closing ? r - 1 : r;
+  p = r + 1;
+  return 0;
+}
+
+bool tag_is(const Tag& t, const char* name) {
+  const int64_t n = static_cast<int64_t>(strlen(name));
+  return t.name_len == n && memcmp(t.name, name, static_cast<size_t>(n)) == 0;
+}
+
+// Integer attribute lookup (like Python's int(p.attrib[key])): scans the
+// name="value" list; false on absence or a non-integer value.
+bool int_attr(const Tag& t, const char* key, long long* val) {
+  const char* p = t.attrs;
+  while (p < t.attrs_end) {
+    while (p < t.attrs_end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= t.attrs_end) break;
+    const char* ns = p;
+    while (p < t.attrs_end && *p != '=' &&
+           !std::isspace(static_cast<unsigned char>(*p))) {
+      ++p;
+    }
+    const int64_t nlen = p - ns;
+    while (p < t.attrs_end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= t.attrs_end || *p != '=') return false;
+    ++p;
+    while (p < t.attrs_end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= t.attrs_end || (*p != '"' && *p != '\'')) return false;
+    const char q = *p++;
+    const char* vs = p;
+    while (p < t.attrs_end && *p != q) ++p;
+    if (p >= t.attrs_end) return false;
+    const char* ve = p;
+    ++p;
+    const int64_t klen = static_cast<int64_t>(strlen(key));
+    if (nlen == klen && memcmp(ns, key, static_cast<size_t>(klen)) == 0) {
+      const std::string s(vs, ve);  // bounded copy for strtoll
+      errno = 0;
+      char* endp = nullptr;
+      const long long v = strtoll(s.c_str(), &endp, 10);
+      while (endp != nullptr && std::isspace(static_cast<unsigned char>(*endp))) ++endp;
+      if (errno != 0 || endp == s.c_str() || (endp != nullptr && *endp != '\0')) {
+        return false;
+      }
+      *val = v;
+      return true;
+    }
+  }
+  return false;
+}
+
+// Collect (x, y, is_last_point_of_stroke) for every Point inside the
+// StrokeSet. Returns point count, or -1 (no StrokeSet) / -2 (malformed).
+int64_t parse_points(const char* buf, int64_t len, std::vector<double>& xs,
+                     std::vector<double>& ys, std::vector<double>& ends) {
+  const char* p = buf;
+  const char* end = buf + len;
+  Tag t;
+  while (true) {
+    const int rc = next_tag(p, end, t);
+    if (rc == 1) return -1;  // EOF before <StrokeSet>
+    if (rc < 0) return -2;
+    if (!t.closing && tag_is(t, "StrokeSet")) break;
+  }
+  int64_t stroke_start = -1;  // first point index of the open <Stroke>, or -1
+  while (true) {
+    const int rc = next_tag(p, end, t);
+    if (rc != 0) return -2;  // must reach </StrokeSet> before EOF
+    if (t.closing && tag_is(t, "StrokeSet")) break;
+    if (tag_is(t, "Stroke")) {
+      if (!t.closing && !t.self_closing) {
+        stroke_start = static_cast<int64_t>(xs.size());
+      } else if (t.closing) {
+        if (stroke_start >= 0 && static_cast<int64_t>(xs.size()) > stroke_start) {
+          ends.back() = 1.0;  // last point of this stroke
+        }
+        stroke_start = -1;
+      }
+    } else if (!t.closing && tag_is(t, "Point") && stroke_start >= 0) {
+      long long x = 0, y = 0;
+      if (!int_attr(t, "x", &x) || !int_attr(t, "y", &y)) return -2;
+      xs.push_back(static_cast<double>(x));
+      ys.push_back(static_cast<double>(y));
+      ends.push_back(0.0);
+    }
+  }
+  return static_cast<int64_t>(xs.size());
+}
+
 }  // namespace
 
 extern "C" {
+
+// Parse an IAM stroke XML buffer -> [n-1, 3] normalized delta rows
+// (dx, -dy, pen-rolled(+1)), exactly like parse_strokes_xml's pre-simplify
+// stage (utils/io.py:11-59). Returns the row count, or a negative code on
+// which the caller must fall back to the Python parser:
+//   -1 no StrokeSet, -2 malformed XML or non-integer coordinate,
+//   -3 fewer than 2 points, -4 out capacity exceeded.
+int64_t dhg_parse_strokes_xml(const char* buf, int64_t len, double* out,
+                              int64_t max_rows) {
+  std::vector<double> xs, ys, ends;
+  const int64_t n = parse_points(buf, len, xs, ys, ends);
+  if (n < 0) return n;
+  if (n < 2) return -3;
+  if (n - 1 > max_rows) return -4;
+  // Deltas with y negated; pen channel rolled by +1 (the segment AFTER a
+  // pen-up is "not drawn"): out_pen[0] = ends[n-1], out_pen[j] = ends[j].
+  for (int64_t i = 0; i + 1 < n; ++i) {
+    out[3 * i] = xs[i + 1] - xs[i];
+    out[3 * i + 1] = -(ys[i + 1] - ys[i]);
+    out[3 * i + 2] = (i == 0) ? ends[n - 1] : ends[i];
+  }
+  const int64_t rows = n - 1;
+  const double s = std_xy(out, rows);
+  if (s > 0.0) {
+    for (int64_t i = 0; i < rows; ++i) {
+      out[3 * i] /= s;
+      out[3 * i + 1] /= s;
+    }
+  }
+  return rows;
+}
+
+// Parse + the full simplification pipeline in ONE native call (the per-line
+// unit of work of the IAM cache build).
+int64_t dhg_parse_and_simplify(const char* buf, int64_t len, int64_t passes,
+                               double frac, double* out, int64_t max_rows) {
+  const int64_t n = dhg_parse_strokes_xml(buf, len, out, max_rows);
+  if (n < 0) return n;
+  std::vector<double> xyz(out, out + 3 * n);
+  int64_t cur = n;
+  for (int64_t p = 0; p < passes; ++p) {
+    const int64_t n_merge = static_cast<int64_t>(static_cast<double>(cur) * frac);
+    cur = combine_pass(xyz, cur, n_merge);
+  }
+  memcpy(out, xyz.data(), sizeof(double) * 3 * static_cast<size_t>(cur));
+  return cur;
+}
 
 // Full simplification pipeline on a [n, 3] row-major (dx, dy, pen) array:
 // `passes` combine passes, each merging floor(frac * current_n) pairs.

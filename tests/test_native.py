@@ -38,6 +38,119 @@ def test_full_pipeline_matches_numpy(n, seed):
     np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-12)
 
 
+TRICKY_XML = """<?xml version="1.0" encoding="ISO-8859-1"?>
+<WhiteboardCaptureSession>
+  <WhiteboardDescription>
+    <SensorLocation corner="top_left"/>
+    <DiagonallyOppositeCoords x="6512" y="1376"/>
+  </WhiteboardDescription>
+  <!-- a comment mentioning <Point x="1" y="2"/> that must be ignored -->
+  <StrokeSet>
+    <Stroke colour='black' start_time="100.0">
+      <Point x="100" y="200" time="100.00"/>
+      <Point y="205" x="110"/>
+      <Point x=" 120 " y='210'></Point>
+    </Stroke>
+    <!-- empty stroke -->
+    <Stroke/>
+    <Stroke>
+      <Point x="150" y="220"/>
+      <Point x="160" y="225"/>
+      <Point x="-3" y="12"/>
+    </Stroke>
+  </StrokeSet>
+</WhiteboardCaptureSession>
+"""
+
+
+def _et_reference_parse(path):
+    """The ElementTree path of parse_strokes_xml, pre-simplify (the numpy
+    reference the native scanner must match)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    xs, ys, ends = [], [], []
+    for stroke in root.find("StrokeSet").findall("Stroke"):
+        points = stroke.findall("Point")
+        for idx, p in enumerate(points):
+            xs.append(int(p.attrib["x"]))
+            ys.append(int(p.attrib["y"]))
+            ends.append(1.0 if idx == len(points) - 1 else 0.0)
+    xs, ys, ends = (np.asarray(a, dtype=np.float64) for a in (xs, ys, ends))
+    strokes = np.stack([xs[1:] - xs[:-1], -(ys[1:] - ys[:-1]), ends[1:]], axis=1)
+    strokes[:, 2] = np.roll(strokes[:, 2], 1)
+    strokes[:, :2] /= np.std(strokes[:, :2])
+    return strokes
+
+
+def test_xml_parse_matches_elementtree(tmp_path):
+    """Native scanner == ElementTree on IAM-shaped XML with comments,
+    attribute-order/quote variants, extra attributes, non-self-closing
+    Points, empty strokes, and coordinate-bearing tags outside StrokeSet."""
+    from dhg.native import parse_strokes_xml_native
+
+    p = tmp_path / "tricky.xml"
+    p.write_text(TRICKY_XML)
+    ref = _et_reference_parse(p)
+    out = parse_strokes_xml_native(p)  # parse-only
+    assert out is not None and out.shape == ref.shape == (5, 3)
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-12)
+    assert out[0, 2] == 1.0  # rolled pen bit: last point's end lands at row 0
+
+
+def test_xml_parse_and_simplify_matches_python_pipeline(tmp_path):
+    from dhg.data.strokes import combine_strokes
+    from dhg.native import parse_strokes_xml_native
+
+    # Long synthetic line so all 3 combine passes do real work.
+    rng = np.random.RandomState(7)
+    pts, x, y = [], 500, 800
+    for s in range(12):
+        body = "".join(
+            f'<Point x="{(x := x + int(d))}" y="{(y := y + int(e))}"/>'
+            for d, e in rng.randint(-40, 40, size=(30, 2))
+        )
+        pts.append(f"<Stroke>{body}</Stroke>")
+    p = tmp_path / "long.xml"
+    p.write_text(f"<W><StrokeSet>{''.join(pts)}</StrokeSet></W>")
+
+    ref = _et_reference_parse(p)
+    for _ in range(3):
+        ref = combine_strokes(ref, int(len(ref) * 0.2))
+    out = parse_strokes_xml_native(p, passes=3, frac=0.2)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_xml_parse_declines_surprises(tmp_path):
+    """Anything the targeted scanner can't guarantee -> None (fallback)."""
+    from dhg.native import parse_strokes_xml_native
+
+    cases = {
+        "no_strokeset.xml": "<W><Other/></W>",
+        "bad_coord.xml": '<W><StrokeSet><Stroke><Point x="1e3" y="2"/>'
+        '<Point x="3" y="4"/></Stroke></StrokeSet></W>',
+        "unterminated.xml": '<W><StrokeSet><Stroke><Point x="1" y="2"/>',
+        "one_point.xml": '<W><StrokeSet><Stroke><Point x="1" y="2"/>'
+        "</Stroke></StrokeSet></W>",
+    }
+    for name, body in cases.items():
+        p = tmp_path / name
+        p.write_text(body)
+        assert parse_strokes_xml_native(p) is None, name
+
+
+def test_public_parse_falls_back_on_decline(tmp_path):
+    """parse_strokes_xml still raises the reference's error shape when the
+    native scanner declines and ElementTree also finds no StrokeSet."""
+    from dhg.data.strokes import parse_strokes_xml
+
+    p = tmp_path / "no_ss.xml"
+    p.write_text("<W><Other/></W>")
+    with pytest.raises(ValueError, match="no StrokeSet"):
+        parse_strokes_xml(p)
+
+
 def test_pen_bits_preserved():
     xyz = np.zeros((10, 3))
     xyz[:, 0] = 1.0  # all collinear
