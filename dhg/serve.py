@@ -1,7 +1,7 @@
 """Production-style serving runtime with continuous batching.
 
     python -m dhg.serve --experiment_path=<run dir> [--port=8008] \
-        [--source=<style image>] [--warmup_buckets=200,400] \
+        [--source=<style image>[,style2.png,...]] [--warmup_buckets=200,400] \
         [--warm_steps=30] [--warm_modes=new,standard,ddim] \
         [--warm_temps=0.7,1.3]
 
@@ -10,9 +10,17 @@ buckets (so first requests don't pay compile latency), then serves:
 
   POST /generate   {"prompt": str, "seed": int?, "diffusion_mode": str?,
                     "guidance_scale": float?, "n_steps": int?,
-                    "temperature": float?}
+                    "temperature": float?, "style": int | [float, ...]?}
       -> {"strokes": [[dx, dy, pen], ...], "seq_len": int, "ms": float}
-  GET  /healthz    -> {"ok": true, "buckets": [...], "stats": {...}}
+  GET  /healthz    -> {"ok": true, "buckets": [...], "styles": int,
+                       "stats": {...}}
+
+Style bank: --source accepts a comma-separated list of style images; each
+becomes an entry in the server's style bank. A request may pick a writer
+("style": 1) or blend several ("style": [0.3, 0.7] — one weight per bank
+entry, the serving face of `dhg.inference --source2/--style_mix`).
+Omitted = entry 0. Style is a TRACED batched input, so per-request styles
+ride the same compiled programs and co-batch freely — no warmup cost.
 
 Continuous batching: concurrent requests land in a queue; a single batcher
 thread drains compatible requests (same diffusion mode / guidance / length
@@ -89,6 +97,7 @@ class _Pending:
     bucket: int
     n_steps: int | None = None  # None = canonical 60-step schedule
     temperature: float = 1.0  # sampling temperature (static jit arg)
+    style_w: tuple[float, ...] | None = None  # bank weights; None = entry 0
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     seq_len: int = 0
@@ -100,6 +109,8 @@ class _Pending:
         # break the solo-vs-batched determinism contract. n_steps changes
         # both the program (scan length) and the noise draw count;
         # temperature is a static jit arg (distinct compiled program).
+        # style_w is NOT in the key: styles are per-row traced inputs, so
+        # requests with different styles co-batch in one program.
         return (self.mode, self.guidance, self.bucket, self.n_steps, self.temperature)
 
 
@@ -118,7 +129,10 @@ class GenerationService:
     ):
         self.model = model
         self.params = params
-        self.style = jnp.asarray(style)
+        # Style BANK [S, 14, 1280]: entry 0 is the default; requests select
+        # an entry by index or blend entries with a weight vector. A single
+        # [1, 14, 1280] style (the pre-bank call shape) is a bank of one.
+        self.styles = jnp.asarray(style)
         self.tokenizer = Tokenizer()
         self.max_text_len = max_text_len
         self.batch_window = batch_window_ms / 1000.0
@@ -176,7 +190,10 @@ class GenerationService:
         if source:
             from dhg.inference import style_from_image
 
-            style = style_from_image(source)
+            paths = [s for s in str(source).split(",") if s.strip()]
+            style = jnp.concatenate(
+                [jnp.asarray(style_from_image(p.strip())) for p in paths]
+            )
         else:
             style = jnp.zeros((1, 14, 1280))
         service = cls(model, params, style)
@@ -290,7 +307,7 @@ class GenerationService:
     # -- the batched sampler call --------------------------------------------
 
     def _run_bucket(self, token_lists, seeds, seq_len, mode, guidance,
-                    n_steps=None, temperature=1.0) -> np.ndarray:
+                    n_steps=None, temperature=1.0, style_ws=None) -> np.ndarray:
         """ONE sampler program for a group of requests sharing a bucket."""
         from dhg.inference import generate
 
@@ -303,7 +320,19 @@ class GenerationService:
         keys = jnp.stack(
             [jax.random.PRNGKey(seeds[i] if i < n else 0) for i in range(b)]
         )
-        style = jnp.broadcast_to(self.style, (b,) + self.style.shape[1:])
+        # Per-request style rows from the bank (padding rows reuse entry 0);
+        # a traced input, so mixed-style groups share one compiled program.
+        default = self.styles[0]
+        rows = []
+        for i in range(b):
+            w = style_ws[i] if (style_ws is not None and i < n) else None
+            if w is None:
+                rows.append(default)
+            else:
+                rows.append(
+                    jnp.tensordot(jnp.asarray(w, self.styles.dtype), self.styles, axes=1)
+                )
+        style = jnp.stack(rows)
         out = generate(
             self.model,
             self.params,
@@ -360,6 +389,7 @@ class GenerationService:
                 group[0].guidance,
                 n_steps=group[0].n_steps,
                 temperature=group[0].temperature,
+                style_ws=[p.style_w for p in group],
             )
             ms = (time.perf_counter() - t0) * 1000
             if ms > self.slow_ms and not self._warming:
@@ -415,6 +445,40 @@ class GenerationService:
 
     # -- request API ----------------------------------------------------------
 
+    def _parse_style(self, style) -> tuple[float, ...] | None:
+        """Validate a request's style field against the bank.
+
+        None -> bank entry 0 (default); int -> that entry; list of floats
+        (one weight per bank entry) -> linear blend. Raises ValueError
+        (-> HTTP 400) on out-of-range indices, wrong-length weight vectors,
+        or non-finite weights."""
+        n_bank = int(self.styles.shape[0])
+        if style is None:
+            return None
+        if isinstance(style, bool):
+            raise ValueError("style must be an int index or a list of weights")
+        if isinstance(style, int):
+            if not 0 <= style < n_bank:
+                raise ValueError(
+                    f"style index {style} out of range (bank has {n_bank} "
+                    "entries; load more via --source=a.png,b.png,...)"
+                )
+            return tuple(1.0 if i == style else 0.0 for i in range(n_bank))
+        if isinstance(style, (list, tuple)):
+            if len(style) != n_bank:
+                raise ValueError(
+                    f"style weights must have one entry per bank style "
+                    f"({n_bank}), got {len(style)}"
+                )
+            try:
+                w = tuple(float(x) for x in style)
+            except (TypeError, ValueError):
+                raise ValueError("style weights must be numbers") from None
+            if not all(np.isfinite(w)):
+                raise ValueError("style weights must be finite")
+            return w
+        raise ValueError("style must be an int index or a list of weights")
+
     def generate_line(
         self,
         prompt: str,
@@ -423,6 +487,7 @@ class GenerationService:
         guidance_scale: float | None = None,
         n_steps: int | None = None,
         temperature: float | None = None,
+        style=None,
     ) -> tuple[np.ndarray, int, float]:
         # Distilled-student serving defaults (mirrors dhg.inference.infer):
         # an unspecified request samples on the student's own halved grid
@@ -459,6 +524,7 @@ class GenerationService:
                 f"{sorted(self.allowed_temps)}); start the server with "
                 "--warm_temps to enable it"
             )
+        style_w = self._parse_style(style)
         bucket = self.bucket_for(len(tokens))
         # A prompt longer than every warmed bucket clamps (bucket_for): the
         # output is capped at the bucket length, i.e. the line may stop
@@ -466,7 +532,7 @@ class GenerationService:
         truncated = bucket < infer_seq_len(len(tokens))
         req = _Pending(
             tokens, seed, diffusion_mode, guidance_scale, bucket, n_steps,
-            temperature=temperature,
+            temperature=temperature, style_w=style_w,
         )
         t0 = time.perf_counter()
         with self._cv:
@@ -500,6 +566,7 @@ def make_handler(service: GenerationService):
                      "warm_steps": sorted(s for s in service.allowed_steps if s),
                      "warm_modes": sorted(service.allowed_modes),
                      "warm_temps": sorted(service.allowed_temps),
+                     "styles": int(service.styles.shape[0]),
                      "stats": service.stats_snapshot()},
                 )
             else:
@@ -520,6 +587,7 @@ def make_handler(service: GenerationService):
                     guidance_scale=req.get("guidance_scale"),
                     n_steps=req.get("n_steps"),
                     temperature=req.get("temperature"),
+                    style=req.get("style"),
                 )
                 self._send(
                     200,

@@ -24,7 +24,10 @@ def server():
         jnp.ones((1, 1)),
         jnp.zeros((1, 14, 1280)),
     )["params"]
-    service = GenerationService(model, params, jnp.zeros((1, 14, 1280)))
+    # Two-entry style bank: entry 0 (zeros) is the default — existing tests
+    # see the pre-bank behavior; entry 1 exercises per-request selection.
+    bank = jnp.stack([jnp.zeros((14, 1280)), jnp.full((14, 1280), 0.1)])
+    service = GenerationService(model, params, bank)
     # port 0: ephemeral. warm_steps=(30,) also warms + allowlists the
     # 30-step strided programs (fewer-step serving tests below).
     # warm_temps=(0.5,) also warms + allowlists the tau=0.5 programs
@@ -53,6 +56,46 @@ def test_healthz(server):
         body = json.loads(r.read())
     assert body["ok"] is True
     assert body["buckets"] == [104]
+    assert body["styles"] == 2  # the fixture's two-entry bank
+
+
+def test_style_bank_selection_and_blend(server):
+    """Per-request style: index selects a bank entry, a weight vector
+    blends entries, and all variants share the warmed programs (none of
+    these requests may compile — they ride the same bucket/batch grid)."""
+    base = {"prompt": "abc", "seed": 7}
+    s0, b_default = _post(server + "/generate", base)
+    s1, b_idx0 = _post(server + "/generate", {**base, "style": 0})
+    s2, b_idx1 = _post(server + "/generate", {**base, "style": 1})
+    s3, b_blend = _post(server + "/generate", {**base, "style": [0.5, 0.5]})
+    assert s0 == s1 == s2 == s3 == 200
+    # Explicit index 0 == default (omitted) style.
+    assert b_idx0["strokes"] == b_default["strokes"]
+    # A different bank entry and a blend both change the conditioning.
+    assert b_idx1["strokes"] != b_default["strokes"]
+    assert b_blend["strokes"] != b_default["strokes"]
+    assert b_blend["strokes"] != b_idx1["strokes"]
+    # Weight vector [1, 0] == index 0 exactly (same program, same math).
+    s4, b_w0 = _post(server + "/generate", {**base, "style": [1.0, 0.0]})
+    assert s4 == 200
+    np.testing.assert_allclose(
+        np.asarray(b_w0["strokes"]), np.asarray(b_default["strokes"]), atol=1e-4
+    )
+
+
+def test_style_bank_validation_400(server):
+    for bad, msg in [
+        (2, "out of range"),
+        (-1, "out of range"),
+        ([1.0], "one entry per bank style"),
+        ([1.0, 2.0, 3.0], "one entry per bank style"),
+        (["a", "b"], "numbers"),
+        (True, "int index or a list"),
+        ("first", "int index or a list"),
+    ]:
+        status, body = _post(server + "/generate", {"prompt": "ab", "style": bad})
+        assert status == 400, bad
+        assert msg in body["error"], bad
 
 
 def test_generate_roundtrip(server):
