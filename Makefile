@@ -9,7 +9,23 @@ EXP = "data/best_exp"
 OUTPUT = "prediction"
 CHECKPOINT =
 
-.PHONY: install train infer infer-batch test bench format lint cache export
+.PHONY: install train infer infer-batch test bench format lint cache export \
+	serve eval metrics
+
+# HTTP serving with continuous batching (PORT=8008; SOURCE may be a
+# comma-separated style bank, selectable per request).
+serve:
+	python -m dhg.serve --experiment_path=$(EXP) --port=$(or $(PORT),8008) \
+		--source=$(SOURCE)
+
+# Score a saved checkpoint on a split (SPLIT=validation|train).
+eval:
+	python -m dhg.eval --experiment_path=$(EXP) \
+		$(if $(SPLIT),--split=$(SPLIT))
+
+# Generation-quality metrics (KS stroke stats + Frechet style distance).
+metrics:
+	python -m dhg.metrics --experiment_path=$(EXP)
 
 # dhg checkpoint -> reference-loadable .pth (inverse of the torch converter)
 export:
