@@ -27,17 +27,18 @@ def parse_strokes_xml(xml_path: PathLike | str) -> np.ndarray:
     """Parse an IAM stroke XML file -> [N, 3] array of (dx, dy, pen_lift).
 
     Uses the native C++ scanner (dhg.native.parse_strokes_xml_native) when
-    built — the XML parse is the other half of the cache build's per-line
-    CPU cost next to simplification. The ElementTree path below stays as
-    the reference implementation and the fallback for any input the
-    targeted scanner declines (it never guesses: unexpected structure
-    returns None and lands here).
+    built — parse + all 3 combine passes in ONE native call, the per-line
+    unit of the cache build (14x the ElementTree path, PERFORMANCE.md).
+    The ElementTree + numpy path below stays as the reference
+    implementation and the fallback for any input the targeted scanner
+    declines (it never guesses: unexpected structure returns None and
+    lands here).
     """
     from dhg.native import parse_strokes_xml_native
 
-    native = parse_strokes_xml_native(xml_path)
+    native = parse_strokes_xml_native(xml_path, passes=3, frac=0.2)
     if native is not None:
-        return simplify_strokes(native, passes=3, frac=0.2)
+        return native
 
     root = ET.parse(xml_path).getroot()
     stroke_set = root.find("StrokeSet")

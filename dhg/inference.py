@@ -418,6 +418,23 @@ def sample_lines(
     return [arr[i, : infer_seq_len(l)] for i, l in enumerate(lengths)]
 
 
+_style_extractors: dict = {}  # (weights_path, strict) -> apply_fn
+
+
+def _style_apply_fn(style_weights, strict: bool):
+    """Memoized frozen-trunk extractor: init_style_extractor re-inits the
+    full MobileNetV2 (init + .npz load + fresh jit) on every call, so
+    without the cache --source2 doubles that cost per infer() and a serve
+    style bank pays it once per entry."""
+    key = (None if style_weights is None else str(style_weights), bool(strict))
+    if key not in _style_extractors:
+        from dhg.models.style_extractor import init_style_extractor
+
+        _, _, apply_fn = init_style_extractor(weights_path=style_weights, strict=strict)
+        _style_extractors[key] = apply_fn
+    return _style_extractors[key]
+
+
 def style_from_image(
     source: str | Path,
     img_height: int = 96,
@@ -429,13 +446,13 @@ def style_from_image(
     style_weights: converted MobileNetV2 .npz; None resolves to the repo
     default <repo>/data/mobilenetv2_tv.npz (NOT CWD-relative). A missing
     file warns loudly (random-init trunk); strict=True raises instead.
+    The extractor (trunk init + weights) is built once per
+    (style_weights, strict) and reused across calls.
     """
     from dhg.data.images import read_img
-    from dhg.models.style_extractor import init_style_extractor
 
     img = read_img(source, img_height).astype(np.float32)
-    _, _, apply_fn = init_style_extractor(weights_path=style_weights, strict=strict)
-    return apply_fn(img[None])
+    return _style_apply_fn(style_weights, strict)(img[None])
 
 
 def infer(

@@ -50,9 +50,17 @@ def get_lib() -> ctypes.CDLL | None:
             return None
     try:
         lib = ctypes.CDLL(str(_LIB))
-    except OSError as e:  # pragma: no cover
-        logger.warning("native load failed: %s", e)
-        return None
+        lib.dhg_parse_and_simplify  # noqa: B018 — probe for a stale binary
+    except (OSError, AttributeError):
+        # Missing library OR a stale .so predating newer exports (mtimes
+        # lie after a fresh checkout): rebuild once from source.
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError as e:  # pragma: no cover
+            logger.warning("native load failed: %s", e)
+            return None
 
     dbl_p = ctypes.POINTER(ctypes.c_double)
     lib.dhg_simplify_strokes.argtypes = [

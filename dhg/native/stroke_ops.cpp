@@ -83,12 +83,12 @@ int64_t combine_pass(std::vector<double>& xyz, int64_t n, int64_t n_merge) {
   }
 
   const int64_t n_out = static_cast<int64_t>(out.size()) / 3;
+  // Unconditional divide like np.std-based renormalization (0/0 -> NaN,
+  // x/0 -> inf): degenerate inputs must produce the same rows as numpy.
   const double s = std_xy(out.data(), n_out);
-  if (s > 0.0) {
-    for (int64_t i = 0; i < n_out; ++i) {
-      out[3 * i] /= s;
-      out[3 * i + 1] /= s;
-    }
+  for (int64_t i = 0; i < n_out; ++i) {
+    out[3 * i] /= s;
+    out[3 * i + 1] /= s;
   }
   xyz.assign(out.begin(), out.end());
   return n_out;
@@ -226,41 +226,137 @@ bool int_attr(const Tag& t, const char* key, long long* val) {
   return false;
 }
 
-// Collect (x, y, is_last_point_of_stroke) for every Point inside the
-// StrokeSet. Returns point count, or -1 (no StrokeSet) / -2 (malformed).
+// Any tag with a repeated attribute name is malformed XML (ElementTree
+// raises ParseError on the whole file) — the scanner must decline, not
+// silently pick one value.
+bool has_dup_attrs(const Tag& t) {
+  const char* names[16];
+  int64_t lens[16];
+  int count = 0;
+  const char* p = t.attrs;
+  while (p < t.attrs_end) {
+    while (p < t.attrs_end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= t.attrs_end) break;
+    const char* ns = p;
+    while (p < t.attrs_end && *p != '=' &&
+           !std::isspace(static_cast<unsigned char>(*p))) {
+      ++p;
+    }
+    const int64_t nlen = p - ns;
+    while (p < t.attrs_end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= t.attrs_end || *p != '=') return true;  // malformed attr list
+    ++p;
+    while (p < t.attrs_end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= t.attrs_end || (*p != '"' && *p != '\'')) return true;
+    const char q = *p++;
+    while (p < t.attrs_end && *p != q) ++p;
+    if (p >= t.attrs_end) return true;
+    ++p;
+    for (int i = 0; i < count; ++i) {
+      if (lens[i] == nlen && memcmp(names[i], ns, static_cast<size_t>(nlen)) == 0) {
+        return true;
+      }
+    }
+    if (count == 16) return true;  // absurd attr count: decline
+    names[count] = ns;
+    lens[count] = nlen;
+    ++count;
+  }
+  return false;
+}
+
+// Collect (x, y, is_last_point_of_stroke) for every Point that is a direct
+// child of a Stroke that is a direct child of the (single) StrokeSet —
+// exactly the ElementTree reference's findall nesting. The whole document
+// is checked for tag balance (a name stack), duplicate attributes, a
+// single root, and no trailing junk, so files ElementTree would reject
+// with ParseError decline here too instead of parsing differently.
+// Returns point count, or -1 (no StrokeSet) / -2 (malformed or a structure
+// the scanner can't guarantee matches ElementTree).
 int64_t parse_points(const char* buf, int64_t len, std::vector<double>& xs,
                      std::vector<double>& ys, std::vector<double>& ends) {
   const char* p = buf;
   const char* end = buf + len;
   Tag t;
+  std::vector<std::pair<const char*, int64_t>> stack;  // open-tag names
+  bool root_seen = false, root_closed = false;
+  bool in_ss = false, found_ss = false;
+  int64_t ss_depth = -1;      // stack depth of the open <StrokeSet>
+  int64_t stroke_depth = -1;  // stack depth of the open <Stroke>, or -1
+  int64_t stroke_start = -1;  // first point index of the open <Stroke>
+
   while (true) {
     const int rc = next_tag(p, end, t);
-    if (rc == 1) return -1;  // EOF before <StrokeSet>
+    if (rc == 1) break;  // clean EOF
     if (rc < 0) return -2;
-    if (!t.closing && tag_is(t, "StrokeSet")) break;
-  }
-  int64_t stroke_start = -1;  // first point index of the open <Stroke>, or -1
-  while (true) {
-    const int rc = next_tag(p, end, t);
-    if (rc != 0) return -2;  // must reach </StrokeSet> before EOF
-    if (t.closing && tag_is(t, "StrokeSet")) break;
-    if (tag_is(t, "Stroke")) {
-      if (!t.closing && !t.self_closing) {
-        stroke_start = static_cast<int64_t>(xs.size());
-      } else if (t.closing) {
+    if (root_closed) return -2;  // content after the root element
+    if (has_dup_attrs(t)) return -2;
+
+    if (t.closing) {
+      if (stack.empty()) return -2;
+      const auto& top = stack.back();
+      if (top.second != t.name_len ||
+          memcmp(top.first, t.name, static_cast<size_t>(t.name_len)) != 0) {
+        return -2;  // mismatched close tag
+      }
+      stack.pop_back();
+      const int64_t depth = static_cast<int64_t>(stack.size());
+      if (stroke_depth >= 0 && depth == stroke_depth) {
+        // The active <Stroke> just closed: its last point ends the stroke.
         if (stroke_start >= 0 && static_cast<int64_t>(xs.size()) > stroke_start) {
-          ends.back() = 1.0;  // last point of this stroke
+          ends.back() = 1.0;
         }
+        stroke_depth = -1;
         stroke_start = -1;
       }
-    } else if (!t.closing && tag_is(t, "Point") && stroke_start >= 0) {
+      if (in_ss && depth == ss_depth) in_ss = false;  // </StrokeSet>
+      if (stack.empty()) root_closed = true;
+      continue;
+    }
+
+    // Opening tag.
+    if (stack.empty()) {
+      if (root_seen) return -2;  // second root element
+      root_seen = true;
+      if (t.self_closing) {
+        root_closed = true;
+        continue;
+      }
+    }
+    if (tag_is(t, "StrokeSet")) {
+      if (in_ss || found_ss) return -2;  // nested or second StrokeSet
+      if (static_cast<int64_t>(stack.size()) != 1) {
+        return -2;  // ET's root.find() only sees direct children of the root
+      }
+      found_ss = true;
+      if (!t.self_closing) {
+        in_ss = true;
+        ss_depth = static_cast<int64_t>(stack.size());
+      }
+    } else if (in_ss && tag_is(t, "Stroke")) {
+      if (stroke_depth >= 0) return -2;  // nested Stroke
+      if (static_cast<int64_t>(stack.size()) != ss_depth + 1) {
+        return -2;  // not a direct child of StrokeSet: ET would ignore it
+      }
+      if (!t.self_closing) {
+        stroke_depth = static_cast<int64_t>(stack.size());
+        stroke_start = static_cast<int64_t>(xs.size());
+      }
+    } else if (in_ss && tag_is(t, "Point")) {
+      if (stroke_depth < 0 ||
+          static_cast<int64_t>(stack.size()) != stroke_depth + 1) {
+        return -2;  // Point not a direct child of a Stroke: ET would ignore
+      }
       long long x = 0, y = 0;
       if (!int_attr(t, "x", &x) || !int_attr(t, "y", &y)) return -2;
       xs.push_back(static_cast<double>(x));
       ys.push_back(static_cast<double>(y));
       ends.push_back(0.0);
     }
+    if (!t.self_closing) stack.emplace_back(t.name, t.name_len);
   }
+  if (!stack.empty()) return -2;  // unbalanced at EOF
+  if (!found_ss) return -1;
   return static_cast<int64_t>(xs.size());
 }
 
@@ -289,12 +385,14 @@ int64_t dhg_parse_strokes_xml(const char* buf, int64_t len, double* out,
     out[3 * i + 2] = (i == 0) ? ends[n - 1] : ends[i];
   }
   const int64_t rows = n - 1;
+  // Unconditional divide, matching `strokes[:, :2] /= np.std(...)` exactly
+  // (utils/io.py:59): two identical points -> 0/0 -> NaN rows, same as the
+  // ElementTree/numpy path, so cache contents can't depend on whether the
+  // native library built.
   const double s = std_xy(out, rows);
-  if (s > 0.0) {
-    for (int64_t i = 0; i < rows; ++i) {
-      out[3 * i] /= s;
-      out[3 * i + 1] /= s;
-    }
+  for (int64_t i = 0; i < rows; ++i) {
+    out[3 * i] /= s;
+    out[3 * i + 1] /= s;
   }
   return rows;
 }

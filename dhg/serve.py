@@ -322,17 +322,22 @@ class GenerationService:
         )
         # Per-request style rows from the bank (padding rows reuse entry 0);
         # a traced input, so mixed-style groups share one compiled program.
-        default = self.styles[0]
-        rows = []
-        for i in range(b):
-            w = style_ws[i] if (style_ws is not None and i < n) else None
-            if w is None:
-                rows.append(default)
-            else:
-                rows.append(
-                    jnp.tensordot(jnp.asarray(w, self.styles.dtype), self.styles, axes=1)
-                )
-        style = jnp.stack(rows)
+        # Keep the common all-default case a zero-copy broadcast, and mixed
+        # groups ONE device op (weight matrix built host-side) — per-row
+        # device calls would pay the per-dispatch tunnel cost (DEVNOTES).
+        if style_ws is None or all(w is None for w in style_ws):
+            style = jnp.broadcast_to(self.styles[:1], (b,) + self.styles.shape[1:])
+        else:
+            n_bank = int(self.styles.shape[0])
+            default_w = (1.0,) + (0.0,) * (n_bank - 1)
+            wmat = np.asarray(
+                [
+                    (style_ws[i] if i < n and style_ws[i] is not None else default_w)
+                    for i in range(b)
+                ],
+                dtype=np.float32,
+            )
+            style = jnp.einsum("bs,shw->bhw", jnp.asarray(wmat), self.styles)
         out = generate(
             self.model,
             self.params,

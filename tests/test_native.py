@@ -126,6 +126,7 @@ def test_xml_parse_declines_surprises(tmp_path):
     """Anything the targeted scanner can't guarantee -> None (fallback)."""
     from dhg.native import parse_strokes_xml_native
 
+    two_pts = '<Point x="1" y="2"/><Point x="3" y="4"/>'
     cases = {
         "no_strokeset.xml": "<W><Other/></W>",
         "bad_coord.xml": '<W><StrokeSet><Stroke><Point x="1e3" y="2"/>'
@@ -133,11 +134,54 @@ def test_xml_parse_declines_surprises(tmp_path):
         "unterminated.xml": '<W><StrokeSet><Stroke><Point x="1" y="2"/>',
         "one_point.xml": '<W><StrokeSet><Stroke><Point x="1" y="2"/>'
         "</Stroke></StrokeSet></W>",
+        # ElementTree's findall only sees DIRECT children — nested or
+        # misplaced Stroke/Point/StrokeSet must decline, not diverge:
+        "nested_point.xml": f"<W><StrokeSet><Stroke><Foo>{two_pts}</Foo>"
+        f"{two_pts}</Stroke></StrokeSet></W>",
+        "wrapped_stroke.xml": f"<W><StrokeSet><G><Stroke>{two_pts}</Stroke>"
+        "</G></StrokeSet></W>",
+        "nested_stroke.xml": f"<W><StrokeSet><Stroke><Stroke>{two_pts}"
+        f"</Stroke>{two_pts}</Stroke></StrokeSet></W>",
+        "point_outside_stroke.xml": f"<W><StrokeSet>{two_pts}</StrokeSet></W>",
+        "deep_strokeset.xml": f"<W><G><StrokeSet><Stroke>{two_pts}"
+        "</Stroke></StrokeSet></G></W>",
+        "root_strokeset.xml": f"<StrokeSet><Stroke>{two_pts}</Stroke></StrokeSet>",
+        # Malformed XML ElementTree rejects with ParseError must decline:
+        "unbalanced.xml": f"<W><StrokeSet><Stroke>{two_pts}</StrokeSet></W>",
+        "mismatched.xml": f"<W><StrokeSet><Stroke>{two_pts}</Stroke>"
+        "</StrokeZet></W>",
+        "dup_attr.xml": '<W><StrokeSet><Stroke><Point x="1" x="9" y="2"/>'
+        '<Point x="3" y="4"/></Stroke></StrokeSet></W>',
+        "two_roots.xml": f"<W><StrokeSet><Stroke>{two_pts}</Stroke>"
+        "</StrokeSet></W><W2/>",
+        "junk_after_root.xml": f"<W><StrokeSet><Stroke>{two_pts}</Stroke>"
+        "</StrokeSet></W><Point x=\"9\" y=\"9\"/>",
+        "second_strokeset.xml": f"<W><StrokeSet><Stroke>{two_pts}</Stroke>"
+        f"</StrokeSet><StrokeSet><Stroke>{two_pts}</Stroke></StrokeSet></W>",
     }
     for name, body in cases.items():
         p = tmp_path / name
         p.write_text(body)
         assert parse_strokes_xml_native(p) is None, name
+
+
+def test_xml_parse_degenerate_std_matches_numpy(tmp_path):
+    """Two identical points -> zero deltas -> np.std == 0 -> the reference
+    path divides anyway (0/0 = NaN). The native path must produce the same
+    rows, so cache contents can't depend on whether the library built."""
+    from dhg.native import parse_strokes_xml_native
+
+    p = tmp_path / "degenerate.xml"
+    p.write_text(
+        '<W><StrokeSet><Stroke><Point x="5" y="5"/><Point x="5" y="5"/>'
+        "</Stroke></StrokeSet></W>"
+    )
+    out = parse_strokes_xml_native(p)
+    with np.errstate(invalid="ignore"):
+        ref = _et_reference_parse(p)
+    assert out.shape == ref.shape == (1, 3)
+    np.testing.assert_array_equal(np.isnan(out), np.isnan(ref))
+    assert out[0, 2] == ref[0, 2] == 1.0  # pen bit unaffected
 
 
 def test_public_parse_falls_back_on_decline(tmp_path):

@@ -27,12 +27,21 @@ def _write_xml(tmp_path):
     return p
 
 
-def test_parse_deltas_and_roll(tmp_path, monkeypatch):
-    # Disable combine passes to check the raw parse output.
+@pytest.mark.parametrize("path", ["native", "elementtree"])
+def test_parse_deltas_and_roll(tmp_path, monkeypatch, path):
+    # Disable combine passes to check the raw parse output, on BOTH parse
+    # paths (the native scanner and the ElementTree reference/fallback).
     import dhg.data.strokes as S
+    import dhg.native as N
 
     monkeypatch.setattr(S, "simplify_strokes", lambda x, passes=3, frac=0.2: x)
-    out = S.parse_strokes_xml(_write_xml(tmp_path))
+    if path == "native":
+        if N.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        out = N.parse_strokes_xml_native(_write_xml(tmp_path))  # parse-only
+    else:
+        monkeypatch.setattr(N, "parse_strokes_xml_native", lambda *a, **k: None)
+        out = S.parse_strokes_xml(_write_xml(tmp_path))
     # 5 points -> 4 deltas.
     assert out.shape == (4, 3)
     raw = np.array(
