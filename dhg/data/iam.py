@@ -34,7 +34,11 @@ from __future__ import annotations
 import hashlib
 import json
 import logging
+import os
+import zlib
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from itertools import islice
 from pathlib import Path
 
 import numpy as np
@@ -78,6 +82,70 @@ class IAMCache:
         )
 
 
+def _build_form(
+    form: str,
+    data_dir: Path,
+    img_height: int,
+    img_width: int,
+    max_text_len: int,
+    max_seq_len: int,
+    seed: int,
+    tokenizer: Tokenizer,
+) -> list[tuple[str, np.ndarray, np.ndarray, np.ndarray]]:
+    """Process one form: parse + filter its lines, pick style sources.
+
+    Returns [(sample_id, strokes, text_ids, style_img), ...]. The style
+    source is drawn from a PER-FORM RandomState seeded by (seed, form), so
+    the result is a pure function of the form — identical whether forms run
+    serially or on a thread pool, in any order.
+    """
+    strokes_dir = data_dir / "lineStrokes" / form[:3] / form[:7]
+    img_dir = data_dir / "lineImages" / form[:3] / form[:7]
+    ascii_path = data_dir / "ascii" / form[:3] / form[:7] / f"{form}.txt"
+    if not ascii_path.exists():
+        return []
+
+    text_dict = parse_lines_txt(ascii_path)
+    form_valid = [
+        sid
+        for sid, text in text_dict.items()
+        if len(text) < max_text_len
+        and (strokes_dir / f"{sid}.xml").exists()
+        and (img_dir / f"{sid}.tif").exists()
+    ]
+    rng = np.random.RandomState((seed + zlib.crc32(form.encode())) % (2**32))
+
+    out = []
+    for sid in form_valid:
+        strokes = parse_strokes_xml(strokes_dir / f"{sid}.xml")
+        strokes = pad_stroke_seq(strokes, maxlength=max_seq_len)
+        if strokes is None:
+            continue
+
+        img = read_img(img_dir / f"{sid}.tif", img_height)
+        if img.shape[1] >= img_width:
+            continue  # reference drops lines wider than img_width
+
+        style_source = sid
+        if len(form_valid) > 1:
+            candidates = [s for s in form_valid if s != sid]
+            style_source = candidates[rng.randint(len(candidates))]
+        style_img = read_img(img_dir / f"{style_source}.tif", img_height)
+        if style_img.shape[1] < img_width:
+            style_img = pad_img(style_img, img_width, img_height)
+        else:
+            # The reference feeds the style image at its natural width
+            # (adaptive pooling absorbs it, text_style.py:56); keep it
+            # uncropped — extract_style_vectors runs odd-width images
+            # individually outside the fixed-width batches.
+            style_img = style_img.astype("float32")
+
+        out.append(
+            (sid, strokes, tokenizer.encode_padded(text_dict[sid], max_text_len), style_img)
+        )
+    return out
+
+
 def build_iam_cache(
     data_dir: str | Path,
     kind: str = "train",
@@ -91,6 +159,7 @@ def build_iam_cache(
     style_apply_fn=None,
     style_batch: int = 32,
     style_weights: str | Path | None = None,
+    workers: int | None = None,
 ) -> IAMCache:
     """Scan the IAM tree and build a packed cache.
 
@@ -98,10 +167,18 @@ def build_iam_cache(
     frozen StyleExtractor is built on the fly from `style_weights` (None
     resolves to <repo>/data/mobilenetv2_tv.npz; a loud warning fires on
     random-init fallback — see dhg.models.style_extractor).
+
+    workers: forms are processed on a thread pool (None = min(8, cpus);
+    1 = serial). The per-line work — the native XML scanner (ctypes
+    releases the GIL), cv2 image IO — runs outside the GIL, so threads
+    scale it. Results are assembled in split order and the style-source
+    RNG is per-form, so the cache is IDENTICAL for every worker count
+    (pinned by tests/test_iam_integration.py::test_parallel_build_identical).
     """
     data_dir = Path(data_dir)
-    rng = np.random.RandomState(seed)
     tokenizer = Tokenizer()
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
 
     with open(splits_file) as f:
         splits = json.load(f)
@@ -111,58 +188,42 @@ def build_iam_cache(
     style_imgs: list[np.ndarray] = []
     sample_ids: list[str] = []
 
-    done = False
-    for form in splits[kind]:
-        strokes_dir = data_dir / "lineStrokes" / form[:3] / form[:7]
-        img_dir = data_dir / "lineImages" / form[:3] / form[:7]
-        ascii_path = data_dir / "ascii" / form[:3] / form[:7] / f"{form}.txt"
-        if not ascii_path.exists():
-            continue
+    def worker(form: str):
+        return _build_form(
+            form, data_dir, img_height, img_width, max_text_len, max_seq_len,
+            seed, tokenizer,
+        )
 
-        text_dict = parse_lines_txt(ascii_path)
-
-        form_valid = [
-            sid
-            for sid, text in text_dict.items()
-            if len(text) < max_text_len
-            and (strokes_dir / f"{sid}.xml").exists()
-            and (img_dir / f"{sid}.tif").exists()
-        ]
-
-        for sid in form_valid:
-            strokes = parse_strokes_xml(strokes_dir / f"{sid}.xml")
-            strokes = pad_stroke_seq(strokes, maxlength=max_seq_len)
-            if strokes is None:
-                continue
-
-            img = read_img(img_dir / f"{sid}.tif", img_height)
-            if img.shape[1] >= img_width:
-                continue  # reference drops lines wider than img_width
-
-            style_source = sid
-            if len(form_valid) > 1:
-                candidates = [s for s in form_valid if s != sid]
-                style_source = candidates[rng.randint(len(candidates))]
-            style_img = read_img(img_dir / f"{style_source}.tif", img_height)
-            if style_img.shape[1] < img_width:
-                style_img = pad_img(style_img, img_width, img_height)
-            else:
-                # The reference feeds the style image at its natural width
-                # (adaptive pooling absorbs it, text_style.py:56); keep it
-                # uncropped — extract_style_vectors runs odd-width images
-                # individually outside the fixed-width batches.
-                style_img = style_img.astype("float32")
-
+    def consume(form_results) -> bool:
+        """Append one form's samples in order; True when max_files is hit."""
+        for sid, strokes, text_ids, style_img in form_results:
             strokes_all.append(strokes)
-            text_all.append(tokenizer.encode_padded(text_dict[sid], max_text_len))
+            text_all.append(text_ids)
             style_imgs.append(style_img)
             sample_ids.append(sid)
-
             if max_files and len(sample_ids) >= max_files:
-                done = True
+                return True
+        return False
+
+    forms = list(splits[kind])
+    done = False
+    if workers <= 1:
+        for form in forms:
+            if consume(worker(form)):
                 break
-        if done:
-            break
+    else:
+        # Chunked submission (forms stay in split order) so a small
+        # max_files smoke build doesn't fan out over the whole split.
+        it = iter(forms)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            while not done:
+                chunk = list(islice(it, workers * 4))
+                if not chunk:
+                    break
+                for form_results in ex.map(worker, chunk):
+                    if consume(form_results):
+                        done = True
+                        break
 
     if not sample_ids:
         raise RuntimeError(f"no valid IAM samples found under {data_dir}")
@@ -245,7 +306,13 @@ def load_or_build_cache(cache_dir: str | Path, **build_kwargs) -> IAMCache:
     """Load the packed cache if present, else build and persist it."""
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
-    fp = cache_fingerprint(**{k: v for k, v in build_kwargs.items() if k != "style_apply_fn"})
+    # workers doesn't change the output (per-form RNG, ordered assembly);
+    # _builder version salts the name when the build algorithm changes
+    # (v2: per-form style-source RNG replaced the shared sequential one).
+    fp = cache_fingerprint(
+        _builder=2,
+        **{k: v for k, v in build_kwargs.items() if k not in ("style_apply_fn", "workers")},
+    )
     path = cache_dir / f"iam_cache_{fp}.npz"
     if path.exists():
         logger.info("loading packed IAM cache %s", path)

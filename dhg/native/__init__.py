@@ -12,6 +12,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -22,6 +23,7 @@ _SRC = Path(__file__).parent / "stroke_ops.cpp"
 _LIB = Path(__file__).parent / "_stroke_ops.so"
 _lib: ctypes.CDLL | None = None
 _tried = False
+_load_lock = threading.Lock()  # parallel cache-build workers race here
 
 
 def _build() -> bool:
@@ -38,7 +40,16 @@ def _build() -> bool:
 
 
 def get_lib() -> ctypes.CDLL | None:
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None. Thread-safe:
+    concurrent first callers (parallel cache build) serialize on a lock so
+    only one g++ invocation writes the .so."""
+    if _lib is not None or _tried:
+        return _lib
+    with _load_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> ctypes.CDLL | None:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib

@@ -1,10 +1,13 @@
 """CLI: prebuild the packed IAM cache (train + validation) for a config.
 
-    python -m dhg.tools.build_cache --config=best.yml [--kind=train]
+    python -m dhg.tools.build_cache --config=best.yml [--kind=train] \
+        [--workers=8]
 
 Separates the one-time offline cost (XML parsing, image IO, MobileNetV2
 style extraction) from training startup; training then memory-maps the
-packed arrays straight to device.
+packed arrays straight to device. Forms are processed on a thread pool
+(--workers, default min(8, cpus); the native XML scanner and cv2 release
+the GIL) — the cache is identical for every worker count.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from dhg.utils.log import get_logger
 def main(argv=None) -> None:
     kwargs = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     kind = kwargs.pop("kind", "train")
+    workers = kwargs.pop("workers", None)
     cfg = DLConfig(fit_config(**kwargs))
     logger = get_logger("build_cache")
 
@@ -34,6 +38,7 @@ def main(argv=None) -> None:
         max_files=cfg.training_args.max_files,
         seed=cfg.experiment.seed or 54321,
         style_weights=cfg.dataset_args.style_weights,
+        workers=None if workers is None else int(workers),
     )
     logger.info(f"cache ready: {len(cache)} samples ({kind})")
 

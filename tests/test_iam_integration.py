@@ -123,6 +123,61 @@ def test_cache_roundtrip_and_dataset_view(iam_tree, tmp_path):
     assert item["strokes"].shape == (480, 3)
 
 
+@pytest.fixture(scope="module")
+def iam_tree_multiform(tmp_path_factory):
+    """Six forms x 3 lines — enough forms for the thread pool to matter."""
+    root = tmp_path_factory.mktemp("iam_multi")
+    forms = [f"a{k:02d}-000u" for k in range(1, 7)]
+    texts = ["A first line", "And another one", "Third text here"]
+    for fi, form in enumerate(forms):
+        d1, d2 = form[:3], form[:7]
+        (root / "ascii" / d1 / d2).mkdir(parents=True)
+        (root / "lineStrokes" / d1 / d2).mkdir(parents=True)
+        (root / "lineImages" / d1 / d2).mkdir(parents=True)
+        ascii_body = "OCR:\n\nx\n\nCSR:\n\n" + "\n".join(texts) + "\n"
+        (root / "ascii" / d1 / d2 / f"{form}.txt").write_text(ascii_body)
+        for i in range(1, 4):
+            sid = f"{form}-{i:02d}"
+            (root / "lineStrokes" / d1 / d2 / f"{sid}.xml").write_text(
+                _stroke_xml([30, 40, 25], step=5 + ((fi + i) % 4))
+            )
+            cv2.imwrite(
+                str(root / "lineImages" / d1 / d2 / f"{sid}.tif"),
+                _line_image(seed=10 * fi + i),
+            )
+    splits = root / "splits.json"
+    splits.write_text(json.dumps({"train": forms, "validation": []}))
+    return root, splits
+
+
+def test_parallel_build_identical(iam_tree_multiform):
+    """The thread-pool build must produce EXACTLY the serial cache — same
+    samples, same order, same per-form style-source draws — for any worker
+    count, including with max_files truncation."""
+    root, splits = iam_tree_multiform
+    kwargs = dict(
+        data_dir=root,
+        kind="train",
+        splits_file=splits,
+        img_height=96,
+        img_width=1400,
+        max_text_len=50,
+        max_seq_len=480,
+        seed=54321,
+    )
+    serial = build_iam_cache(workers=1, **kwargs)
+    parallel = build_iam_cache(workers=4, **kwargs)
+    assert serial.sample_ids == parallel.sample_ids and len(serial) == 18
+    np.testing.assert_array_equal(serial.strokes, parallel.strokes)
+    np.testing.assert_array_equal(serial.text, parallel.text)
+    np.testing.assert_array_equal(serial.style, parallel.style)
+
+    s_trunc = build_iam_cache(workers=1, max_files=7, **kwargs)
+    p_trunc = build_iam_cache(workers=4, max_files=7, **kwargs)
+    assert s_trunc.sample_ids == p_trunc.sample_ids == serial.sample_ids[:7]
+    np.testing.assert_array_equal(s_trunc.strokes, p_trunc.strokes)
+
+
 def test_style_source_differs_from_sample(iam_tree):
     """Style vectors come from a DIFFERENT line of the same form: with 3
     distinct line images, at least one sample's style must differ from the
