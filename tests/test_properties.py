@@ -244,3 +244,105 @@ def test_update_config_sets_exact_dotted_path(base, path, value):
         assert isinstance(node[p], dict)
         node = node[p]
     assert node[path[-1]] == value or node[path[-1]] is value
+
+
+# -- native XML scanner vs ElementTree (differential fuzz) ---------------------
+
+
+@st.composite
+def iam_like_xml(draw):
+    """Random IAM-shaped stroke XML: varied whitespace, quote styles,
+    attribute order, extra attributes, comments, declarations, empty and
+    non-self-closing elements — everything the targeted scanner claims to
+    handle. Always well-formed with the StrokeSet a direct child of the
+    root, i.e. inputs where the scanner must PARSE (and match ET exactly),
+    not decline."""
+    rng_ws = st.sampled_from(["", " ", "  ", "\n", "\n  "])
+    n_strokes = draw(st.integers(1, 4))
+    decl = draw(st.booleans())
+    comment = draw(st.booleans())
+    parts = []
+    if decl:
+        parts.append('<?xml version="1.0" encoding="ISO-8859-1"?>')
+    parts.append("<WhiteboardCaptureSession>")
+    if comment:
+        parts.append('<!-- a comment with <Point x="1" y="2"/> inside -->')
+    if draw(st.booleans()):
+        parts.append(
+            '<WhiteboardDescription><SensorLocation corner="top_left"/>'
+            '<DiagonallyOppositeCoords x="6512" y="1376"/>'
+            "</WhiteboardDescription>"
+        )
+    parts.append("<StrokeSet>")
+    total = 0
+    for _ in range(n_strokes):
+        n_pts = draw(st.integers(0, 5))
+        total += n_pts
+        stroke_attr = draw(st.sampled_from(["", ' colour="black"', " start_time='1.0'"]))
+        if n_pts == 0 and draw(st.booleans()):
+            parts.append(f"<Stroke{stroke_attr}/>")
+            continue
+        parts.append(f"<Stroke{stroke_attr}>")
+        for _ in range(n_pts):
+            x = draw(st.integers(-9999, 9999))
+            y = draw(st.integers(-9999, 9999))
+            q1, q2 = draw(st.sampled_from(['""', "''", '"\'', '\'"']))
+            ws = draw(rng_ws)
+            extra = draw(st.sampled_from(["", ' time="0.01"']))
+            a = f"x={q1}{x}{q1}"
+            b = f"y={q2}{y}{q2}"
+            if draw(st.booleans()):
+                a, b = b, a
+            body = f"<Point {a} {ws}{b}{extra}"
+            parts.append(body + ("/>" if draw(st.booleans()) else "></Point>"))
+        parts.append("</Stroke>")
+    parts.append(draw(rng_ws))
+    parts.append("</StrokeSet></WhiteboardCaptureSession>")
+    return "".join(parts), total
+
+
+@settings(max_examples=60, deadline=None)
+@given(iam_like_xml())
+def test_native_scanner_matches_elementtree_fuzz(tmp_path_factory, case):
+    """On every well-formed IAM-shaped file the native scanner either
+    declines (None -> ET fallback, always safe) or produces EXACTLY the
+    ElementTree reference's pre-simplify rows. It must never parse
+    successfully with different values — that is the whole contract."""
+    import xml.etree.ElementTree as ET
+
+    from dhg.native import get_lib, parse_strokes_xml_native
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    xml, total = case
+    p = tmp_path_factory.mktemp("fuzz") / "f.xml"
+    p.write_text(xml)
+
+    out = parse_strokes_xml_native(p)  # parse-only
+
+    # ET reference (pre-simplify stage of parse_strokes_xml).
+    root = ET.parse(p).getroot()
+    xs, ys, ends = [], [], []
+    for stroke in root.find("StrokeSet").findall("Stroke"):
+        points = stroke.findall("Point")
+        for idx, pt in enumerate(points):
+            xs.append(int(pt.attrib["x"]))
+            ys.append(int(pt.attrib["y"]))
+            ends.append(1.0 if idx == len(points) - 1 else 0.0)
+    assert len(xs) == total
+    if total < 2:
+        assert out is None  # <2 points: scanner must decline
+        return
+    xs, ys, ends = (np.asarray(a, dtype=np.float64) for a in (xs, ys, ends))
+    ref = np.stack([xs[1:] - xs[:-1], -(ys[1:] - ys[:-1]), ends[1:]], axis=1)
+    ref[:, 2] = np.roll(ref[:, 2], 1)
+    with np.errstate(invalid="ignore"):
+        ref[:, :2] /= np.std(ref[:, :2])
+
+    assert out is not None, "scanner declined a plain well-formed IAM file"
+    assert out.shape == ref.shape
+    both_nan = np.isnan(ref) & np.isnan(out)
+    np.testing.assert_allclose(
+        np.where(both_nan, 0.0, out), np.where(both_nan, 0.0, ref),
+        rtol=1e-10, atol=1e-12,
+    )
