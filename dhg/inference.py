@@ -30,7 +30,30 @@ from dhg.checkpoint import load_model, resolve_checkpoint
 from dhg.config import parse_cli_kwargs
 from dhg.core.sampling import diffusion_sample, infer_seq_len
 from dhg.data.tokenizer import Tokenizer
-from dhg.utils.vis import save_strokes
+from dhg.utils.vis import compose_lines, save_strokes
+
+
+def wrap_text(text: str, width: int) -> list[str]:
+    """Greedy word-boundary wrap of a paragraph into lines of <= width chars.
+
+    Words longer than width are hard-split; runs of whitespace collapse at
+    break points (textwrap semantics). Explicit newlines in the input force
+    line breaks, and blank input lines survive as "" entries — they become
+    blank page lines under compose_lines (paragraph gaps).
+    """
+    import textwrap
+
+    if width < 1:
+        raise ValueError(f"wrap width must be >= 1, got {width}")
+    out: list[str] = []
+    for raw in text.splitlines() or [""]:
+        if not raw.strip():
+            out.append("")
+            continue
+        out.extend(
+            textwrap.wrap(raw, width=width, break_long_words=True, break_on_hyphens=False)
+        )
+    return out
 
 
 def make_denoise_fn(model, params, text: jnp.ndarray, style: jnp.ndarray):
@@ -476,6 +499,9 @@ def infer(
     temperature: float | None = None,
     source2: str | None = None,
     style_mix: float | None = None,
+    wrap: int | None = None,
+    line_gap: float | None = None,
+    align: str = "left",
 ) -> np.ndarray | list[np.ndarray]:
     """End-to-end single-line inference; returns the [T, 3] stroke array.
 
@@ -508,6 +534,18 @@ def infer(
     temperature: sampling temperature (superset; None/1.0 = reference
     behavior). < 1 = neater, lower-variance handwriting; > 1 = wilder.
     Scales x_T and all injected sampler noise (dhg.core.sampling).
+
+    wrap: paragraph mode (superset — the reference generates exactly one
+    line of at most max_text_len-1 chars). --wrap=N word-wraps the prompt
+    into lines of <= N chars (wrap_text; newlines force breaks, blank lines
+    become paragraph gaps), samples ALL lines in one padded batch
+    (sample_lines, the BASELINE config-2 machinery), and composes them into
+    a single page-level stroke sequence (dhg.utils.vis.compose_lines) saved
+    as one <output>.png/.svg. Returns the composed [T, 3] array.
+
+    line_gap / align: page layout for --wrap — vertical pitch between line
+    tops in stroke units (default 1.3 x the tallest line) and "left" |
+    "center" per-line alignment.
 
     source2 / style_mix: style interpolation (superset — the reference
     conditions on exactly one style image, inference.py:69-70). With
@@ -574,6 +612,41 @@ def infer(
             style_from_image(source2, style_weights=style_weights, strict=strict_style)
         )
         style = (1.0 - mix) * style + mix * style2
+
+    if wrap is not None:
+        if prompts_file is not None:
+            raise ValueError("wrap applies to a single --prompt, not prompts_file")
+        max_text_len = int(cfg.dataset_args.max_text_len or 50)
+        if wrap + 1 > max_text_len:
+            raise ValueError(
+                f"wrap={wrap} + EOS exceeds the model's max_text_len="
+                f"{max_text_len}; use wrap <= {max_text_len - 1}"
+            )
+        wrapped = wrap_text(prompt, int(wrap))
+        to_sample = [ln for ln in wrapped if ln]
+        if not to_sample:
+            raise ValueError("prompt has no printable content to wrap")
+        sampled = sample_lines(
+            model,
+            params,
+            to_sample,
+            style,
+            jax.random.PRNGKey(seed),
+            max_text_len=max_text_len,
+            diffusion_mode=diffusion_mode,
+            guidance_scale=guidance_scale,
+            n_steps=n_steps,
+            schedule=schedule,
+            temperature=temperature,
+        )
+        it = iter(sampled)
+        page = compose_lines(
+            [next(it) if ln else None for ln in wrapped],
+            line_gap=line_gap,
+            align=align,
+        )
+        save_strokes(page, output, fmt=format, show_output=show)
+        return page
 
     if prompts_file is not None:
         prompts = [ln for ln in Path(prompts_file).read_text().splitlines() if ln.strip()]

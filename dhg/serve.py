@@ -10,8 +10,15 @@ buckets (so first requests don't pay compile latency), then serves:
 
   POST /generate   {"prompt": str, "seed": int?, "diffusion_mode": str?,
                     "guidance_scale": float?, "n_steps": int?,
-                    "temperature": float?, "style": int | [float, ...]?}
+                    "temperature": float?, "style": int | [float, ...]?,
+                    "wrap": int?, "line_gap": float?, "align": str?}
       -> {"strokes": [[dx, dy, pen], ...], "seq_len": int, "ms": float}
+      With "wrap": paragraph mode — the prompt is word-wrapped into lines
+      of <= wrap chars, every line is sampled through the SAME continuous-
+      batching queue (sibling lines co-batch with each other and with
+      unrelated requests; line i draws noise from seed + i), and the
+      response's "strokes" is ONE composed page-level sequence
+      (dhg.utils.vis.compose_lines) with "lines" in place of "seq_len".
   GET  /healthz    -> {"ok": true, "buckets": [...], "styles": int,
                        "stats": {...}}
 
@@ -484,16 +491,20 @@ class GenerationService:
             return w
         raise ValueError("style must be an int index or a list of weights")
 
-    def generate_line(
+    def _make_pending(
         self,
         prompt: str,
-        seed: int = 0,
-        diffusion_mode: str | None = None,
-        guidance_scale: float | None = None,
-        n_steps: int | None = None,
-        temperature: float | None = None,
-        style=None,
-    ) -> tuple[np.ndarray, int, float]:
+        seed: int,
+        diffusion_mode: str | None,
+        guidance_scale: float | None,
+        n_steps: int | None,
+        temperature: float | None,
+        style,
+    ) -> tuple[_Pending, bool]:
+        """Validate one line request and build its queue entry (not yet
+        submitted). Returns (pending, truncated) — truncated is True when
+        the prompt exceeded every warmed bucket and the output will be
+        capped at the largest one (see bucket_for)."""
         # Distilled-student serving defaults (mirrors dhg.inference.infer):
         # an unspecified request samples on the student's own halved grid
         # with the DDIM rule it was trained for. Explicit fields win.
@@ -531,26 +542,105 @@ class GenerationService:
             )
         style_w = self._parse_style(style)
         bucket = self.bucket_for(len(tokens))
-        # A prompt longer than every warmed bucket clamps (bucket_for): the
-        # output is capped at the bucket length, i.e. the line may stop
-        # mid-text. Surface that instead of returning a silently-short 200.
         truncated = bucket < infer_seq_len(len(tokens))
         req = _Pending(
             tokens, seed, diffusion_mode, guidance_scale, bucket, n_steps,
             temperature=temperature, style_w=style_w,
         )
-        t0 = time.perf_counter()
+        return req, truncated
+
+    def _submit(self, reqs: list[_Pending]) -> None:
+        """Enqueue pendings atomically (all or 503) and wake the batcher."""
         with self._cv:
             if self._draining:
                 raise Draining("server is draining; not accepting new requests")
-            self._queue.append(req)
+            self._queue.extend(reqs)
             self.stats["requests"] += 1
             self._cv.notify_all()
+
+    def generate_line(
+        self,
+        prompt: str,
+        seed: int = 0,
+        diffusion_mode: str | None = None,
+        guidance_scale: float | None = None,
+        n_steps: int | None = None,
+        temperature: float | None = None,
+        style=None,
+    ) -> tuple[np.ndarray, int, float, bool]:
+        req, truncated = self._make_pending(
+            prompt, seed, diffusion_mode, guidance_scale, n_steps, temperature, style
+        )
+        t0 = time.perf_counter()
+        self._submit([req])
         req.done.wait()
         if req.error is not None:
             raise req.error
         ms = (time.perf_counter() - t0) * 1000
         return req.result, req.seq_len, ms, truncated
+
+    def generate_page(
+        self,
+        prompt: str,
+        wrap: int,
+        seed: int = 0,
+        line_gap: float | None = None,
+        align: str = "left",
+        **line_kwargs,
+    ) -> tuple[np.ndarray, int, float, bool]:
+        """Paragraph request: word-wrap the prompt, sample every line through
+        the SAME continuous-batching queue (sibling lines share a group key,
+        so they co-batch with each other — and with unrelated requests — in
+        one device program per bucket), then compose one page-level stroke
+        sequence (dhg.utils.vis.compose_lines).
+
+        Line i draws noise from seed + i, so a page's lines are mutually
+        independent and the page is reproducible from its base seed.
+        Returns (page_strokes, n_lines_sampled, ms, truncated_any).
+        """
+        from dhg.inference import wrap_text
+        from dhg.utils.vis import compose_lines
+
+        if align not in ("left", "center"):
+            raise ValueError(f"unknown align {align!r} (expected left or center)")
+        if wrap + 1 > self.max_text_len:
+            raise ValueError(
+                f"wrap={wrap} + EOS exceeds max_text_len={self.max_text_len}; "
+                f"use wrap <= {self.max_text_len - 1}"
+            )
+        wrapped = wrap_text(prompt, int(wrap))
+        if not any(ln for ln in wrapped):
+            raise ValueError("prompt has no printable content to wrap")
+        reqs: list[_Pending | None] = []
+        truncated = False
+        for i, ln in enumerate(wrapped):
+            if not ln:
+                reqs.append(None)  # blank line -> paragraph gap slot
+                continue
+            req, trunc = self._make_pending(ln, seed + i, **{
+                "diffusion_mode": line_kwargs.get("diffusion_mode"),
+                "guidance_scale": line_kwargs.get("guidance_scale"),
+                "n_steps": line_kwargs.get("n_steps"),
+                "temperature": line_kwargs.get("temperature"),
+                "style": line_kwargs.get("style"),
+            })
+            truncated = truncated or trunc
+            reqs.append(req)
+        live = [r for r in reqs if r is not None]
+        t0 = time.perf_counter()
+        self._submit(live)
+        for r in live:
+            r.done.wait()
+        errs = [r.error for r in live if r.error is not None]
+        if errs:
+            raise errs[0]
+        page = compose_lines(
+            [None if r is None else r.result for r in reqs],
+            line_gap=line_gap,
+            align=align,
+        )
+        ms = (time.perf_counter() - t0) * 1000
+        return page, len(live), ms, truncated
 
 
 def make_handler(service: GenerationService):
@@ -585,14 +675,36 @@ def make_handler(service: GenerationService):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 prompt = req["prompt"]
-                strokes, seq_len, ms, truncated = service.generate_line(
-                    prompt,
+                common = dict(
                     seed=int(req.get("seed", 0)),
                     diffusion_mode=req.get("diffusion_mode"),
                     guidance_scale=req.get("guidance_scale"),
                     n_steps=req.get("n_steps"),
                     temperature=req.get("temperature"),
                     style=req.get("style"),
+                )
+                if req.get("wrap") is not None:
+                    # Paragraph mode: wrapped lines co-batch through the
+                    # same queue, composed into one page (generate_page).
+                    page, n_lines, ms, truncated = service.generate_page(
+                        prompt,
+                        wrap=int(req["wrap"]),
+                        line_gap=req.get("line_gap"),
+                        align=req.get("align", "left"),
+                        **common,
+                    )
+                    self._send(
+                        200,
+                        {
+                            "strokes": np.round(page, 5).tolist(),
+                            "lines": n_lines,
+                            "ms": round(ms, 2),
+                            "truncated": truncated,
+                        },
+                    )
+                    return
+                strokes, seq_len, ms, truncated = service.generate_line(
+                    prompt, **common
                 )
                 self._send(
                     200,

@@ -44,6 +44,93 @@ def drawn_segments(strokes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return xy, draw
 
 
+def compose_lines(
+    lines: list[np.ndarray | None],
+    line_gap: float | None = None,
+    align: str = "left",
+) -> np.ndarray:
+    """Merge per-line [T, 3] stroke sequences into ONE page-level sequence.
+
+    Capability superset of the reference (whose renderer draws exactly one
+    line, utils/vis.py:5-36): the composition happens in stroke space, so
+    the result is itself a valid (dx, dy, pen) sequence and every existing
+    renderer (show_strokes PNG, strokes_to_svg, the metrics rasterizer)
+    draws the page unchanged.
+
+    Exactness contract: each line is first trimmed to its solo-rendered ink
+    (nothing at-or-after its last pen-up point is drawn when the line is
+    rendered alone — see drawn_segments), then translated into its line
+    slot; the move between lines arrives at a pen-up point, so it is never
+    drawn. The composed page therefore draws exactly the union of the
+    per-line solo renderings, translated — no more, no less (pinned by
+    tests/test_wrap.py).
+
+    lines: per-line sequences, top to bottom. None (or a line that draws
+    nothing on its own) still occupies a line slot, i.e. renders as a blank
+    line — so paragraph gaps compose naturally.
+    line_gap: vertical pitch between consecutive line tops, in stroke
+    units. None = 1.3 x the tallest line's ink height.
+    align: "left" (default) or "center" per-line horizontal alignment.
+    """
+    if align not in ("left", "center"):
+        raise ValueError(f"unknown align {align!r} (expected left or center)")
+    slots: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None] = []
+    for seq in lines:
+        if seq is None or len(seq) == 0:
+            slots.append(None)
+            continue
+        seq = np.asarray(seq, dtype=float)
+        xy, draw = drawn_segments(seq)
+        if not draw.any():
+            slots.append(None)
+            continue
+        last = int(np.flatnonzero(seq[:, 2].round() == 1)[-1])
+        pts = xy[: last + 1]
+        pens = seq[: last + 1, 2].copy()
+        # Ink bbox over points that participate in a drawn segment (the
+        # trimmed tail keeps undrawn lead-in points; don't let them skew
+        # alignment).
+        dmask = np.zeros(last + 1, dtype=bool)
+        idx = np.flatnonzero(draw[:last])
+        dmask[idx] = True
+        dmask[idx + 1] = True
+        lo, hi = pts[dmask].min(axis=0), pts[dmask].max(axis=0)
+        slots.append((pts, pens, lo, hi))
+
+    inked = [s for s in slots if s is not None]
+    if not inked:
+        # No line draws anything: a single no-op row keeps the result a
+        # renderable sequence (an empty figure, same as a solo no-ink line).
+        return np.zeros((1, 3))
+    heights = [hi[1] - lo[1] for _, _, lo, hi in inked]
+    widths = [hi[0] - lo[0] for _, _, lo, hi in inked]
+    pitch = float(line_gap) if line_gap is not None else 1.3 * max(max(heights), 1e-6)
+    page_w = max(widths)
+
+    out_pts: list[np.ndarray] = []
+    out_pens: list[np.ndarray] = []
+    for i, item in enumerate(slots):
+        if item is None:
+            continue
+        pts, pens, lo, hi = item
+        tx = -lo[0] + (0.5 * (page_w - (hi[0] - lo[0])) if align == "center" else 0.0)
+        ty = -(i * pitch) - hi[1]  # ink top of line i sits at y = -i * pitch
+        if out_pts:
+            # The jump from the previous line ARRIVES at this line's first
+            # point; flagging that point pen-up makes the renderer skip the
+            # connecting segment and start this line's polyline at it. (The
+            # point's original flag only governed a segment that was never
+            # drawn solo: nothing arrives at a line's first point.)
+            pens = pens.copy()
+            pens[0] = 1.0
+        out_pts.append(pts + np.array([tx, ty]))
+        out_pens.append(pens)
+
+    pts_all = np.concatenate(out_pts, axis=0)
+    deltas = np.diff(pts_all, axis=0, prepend=np.zeros((1, 2)))
+    return np.concatenate([deltas, np.concatenate(out_pens)[:, None]], axis=1)
+
+
 def strokes_to_svg(
     strokes: np.ndarray,
     stroke_width: float = 1.5,

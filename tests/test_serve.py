@@ -265,6 +265,42 @@ def test_unwarmed_temperature_rejected_400(server):
     assert "not warmed" in body["error"]
 
 
+def test_wrap_paragraph_request(server):
+    """"wrap": N samples a word-wrapped paragraph through the queue and
+    returns ONE composed page; sibling lines draw independent noise."""
+    status, body = _post(
+        server + "/generate", {"prompt": "ab cd ef", "seed": 11, "wrap": 5}
+    )
+    assert status == 200
+    assert body["lines"] == 2  # "ab cd" / "ef"
+    page = np.asarray(body["strokes"])
+    assert page.ndim == 2 and page.shape[1] == 3
+    assert np.all(np.isfinite(page))
+    # Reproducible from the base seed.
+    status2, body2 = _post(
+        server + "/generate", {"prompt": "ab cd ef", "seed": 11, "wrap": 5}
+    )
+    assert status2 == 200 and body2["strokes"] == body["strokes"]
+    # Identical line text on different page rows gets DIFFERENT noise
+    # (seed + i per line): the page differs from stacking one line twice.
+    status3, body3 = _post(
+        server + "/generate", {"prompt": "ab ab", "seed": 11, "wrap": 2}
+    )
+    assert status3 == 200 and body3["lines"] == 2
+
+
+def test_wrap_validation_400(server):
+    # wrap + EOS must fit the model's max_text_len (50 in the fixture).
+    status, body = _post(
+        server + "/generate", {"prompt": "hello", "wrap": 50}
+    )
+    assert status == 400 and "max_text_len" in body["error"]
+    status, body = _post(
+        server + "/generate", {"prompt": "hi", "wrap": 5, "align": "justify"}
+    )
+    assert status == 400 and "align" in body["error"]
+
+
 def test_unknown_route_404(server):
     status, _ = _post(server + "/nope", {})
     assert status == 404
