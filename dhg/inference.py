@@ -616,13 +616,17 @@ def infer(
     if wrap is not None:
         if prompts_file is not None:
             raise ValueError("wrap applies to a single --prompt, not prompts_file")
+        # Coerce ONCE before validating (serve.py does int(req["wrap"]) up
+        # front) so a fractional flag value can't pass validation as-is and
+        # then silently truncate at wrap_text.
+        wrap = int(wrap)
         max_text_len = int(cfg.dataset_args.max_text_len or 50)
         if wrap + 1 > max_text_len:
             raise ValueError(
                 f"wrap={wrap} + EOS exceeds the model's max_text_len="
                 f"{max_text_len}; use wrap <= {max_text_len - 1}"
             )
-        wrapped = wrap_text(prompt, int(wrap))
+        wrapped = wrap_text(prompt, wrap)
         to_sample = [ln for ln in wrapped if ln]
         if not to_sample:
             raise ValueError("prompt has no printable content to wrap")

@@ -133,6 +133,7 @@ class GenerationService:
         max_text_len: int = 50,
         batch_window_ms: float = 5.0,
         max_batch: int = 16,
+        max_page_lines: int = 64,
     ):
         self.model = model
         self.params = params
@@ -144,6 +145,10 @@ class GenerationService:
         self.max_text_len = max_text_len
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
+        # Paragraph-mode page cap: every wrapped line is a sampler job, so
+        # an unbounded prompt would enqueue thousands of jobs and head-of-
+        # line-block other clients. Pages over this many lines get a 400.
+        self.max_page_lines = max_page_lines
         # How n_steps coarsens the schedule: "strided" for ordinary models,
         # "halved" for progressively-distilled students (set by
         # from_experiment from config training_args.distilled_steps — a
@@ -611,6 +616,12 @@ class GenerationService:
         wrapped = wrap_text(prompt, int(wrap))
         if not any(ln for ln in wrapped):
             raise ValueError("prompt has no printable content to wrap")
+        if len(wrapped) > self.max_page_lines:
+            raise ValueError(
+                f"page too long ({len(wrapped)} wrapped lines > "
+                f"max_page_lines={self.max_page_lines}); split the prompt "
+                "into multiple requests"
+            )
         reqs: list[_Pending | None] = []
         truncated = False
         for i, ln in enumerate(wrapped):

@@ -188,15 +188,27 @@ def test_infer_wrap_paragraph(tiny_experiment, tmp_path, monkeypatch):
         output="page",
         seed=7,
         wrap=5,
+        line_gap=5000.0,
     )
     assert wrap_text(prompt, 5) == ["ab cd", "ef"]
     assert (tmp_path / "page.png").exists()
     assert page.ndim == 2 and page.shape[1] == 3
     assert np.all(np.isfinite(page))
-    # If both lines produced ink, their bands sit at distinct heights.
+    # The two wrapped lines must land in DISTINCT vertical bands: with an
+    # explicit line_gap of 5000 stroke units (far above any single line's
+    # ink height from this tiny model) the drawn y-coordinates of the page
+    # separate into two clusters with a wide gap between them.
     xy, draw = drawn_segments(page)
-    if draw.any():
-        assert xy[:, 1].max() - xy[:, 1].min() >= 0.0
+    assert draw.any(), "page drew no ink"
+    ys_drawn = np.sort(
+        np.unique(np.concatenate([xy[:-1][draw][:, 1], xy[1:][draw][:, 1]]))
+    )
+    assert ys_drawn.size >= 2, "page ink collapsed to a single point"
+    largest_band_gap = float(np.diff(ys_drawn).max())
+    assert largest_band_gap > 2500.0, (
+        f"expected two vertical ink bands separated by the 5000-unit "
+        f"line_gap; largest gap in drawn y-coords was {largest_band_gap:.1f}"
+    )
 
     # wrap width must leave room for EOS within max_text_len (20 here).
     with pytest.raises(ValueError, match="max_text_len"):

@@ -282,11 +282,30 @@ def test_wrap_paragraph_request(server):
     )
     assert status2 == 200 and body2["strokes"] == body["strokes"]
     # Identical line text on different page rows gets DIFFERENT noise
-    # (seed + i per line): the page differs from stacking one line twice.
+    # (seed + i per line): row 0 samples "ab" with seed 11 and row 1 with
+    # seed 12, so the page must equal compose_lines of those two SOLO
+    # requests — and the two solo lines must genuinely differ.
+    from dhg.utils.vis import compose_lines
+
     status3, body3 = _post(
         server + "/generate", {"prompt": "ab ab", "seed": 11, "wrap": 2}
     )
     assert status3 == 200 and body3["lines"] == 2
+    s_a, solo_11 = _post(server + "/generate", {"prompt": "ab", "seed": 11})
+    s_b, solo_12 = _post(server + "/generate", {"prompt": "ab", "seed": 12})
+    assert s_a == s_b == 200
+    assert solo_11["strokes"] != solo_12["strokes"], (
+        "per-line seeds regressed: rows with identical text drew the same noise"
+    )
+    expected_page = compose_lines(
+        [np.asarray(solo_11["strokes"]), np.asarray(solo_12["strokes"])]
+    )
+    # atol absorbs the JSON float round-trip (~3.5e-5 observed: solo
+    # responses re-compose from already-serialized floats); a per-line seed
+    # regression would differ by O(1) stroke units.
+    np.testing.assert_allclose(
+        np.asarray(body3["strokes"]), expected_page, rtol=0, atol=1e-3
+    )
 
 
 def test_wrap_validation_400(server):
@@ -295,6 +314,13 @@ def test_wrap_validation_400(server):
         server + "/generate", {"prompt": "hello", "wrap": 50}
     )
     assert status == 400 and "max_text_len" in body["error"]
+    # Paragraph mode caps the page: a prompt that wraps into more lines
+    # than max_page_lines is rejected up front instead of enqueueing
+    # hundreds of line jobs that would head-of-line-block other clients.
+    status, body = _post(
+        server + "/generate", {"prompt": "a " * 200, "wrap": 1}
+    )
+    assert status == 400 and "max_page_lines" in body["error"]
     status, body = _post(
         server + "/generate", {"prompt": "hi", "wrap": 5, "align": "justify"}
     )
