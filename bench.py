@@ -23,8 +23,21 @@ only quantitative record is training at ~10.4 steps/s @ batch 96 on one
 A100 (~1,000 samples/s, run.log) — one training step costs ~3 denoiser-
 equivalent passes (fwd+bwd), i.e. the A100 sustains ~3,000 denoiser-fwd-
 equivalents/s. We use that as the cross-accelerator baseline for
-denoise steps/sec/chip; the shipped `make infer` path is CPU and far slower
-(BASELINE targets >= 20x vs CPU for a full line; see p50_line_latency_s).
+denoise steps/sec/chip.
+
+vs_cpu_x (round 4): the BASELINE ">= 20x vs CPU" target is now checked
+against a MEASURED denominator, not an estimate: bench.py re-times the
+reference's own 60-step CPU loop in-run (dhg/tools/bench_reference_cpu.py
+imports /root/reference's real model + step rules; charitable no-grad
+variant) and divides by the per-call-fenced p50. If the reference import
+fails, the 2026-08-20 measurement on this host is used instead and
+cpu_baseline_source says "recorded". Caveat disclosed in the JSON: this
+host exposes ONE CPU core (torch single-threaded), so the CPU denominator
+is a 1-thread number.
+
+train_compute_dtype (round 4): dhg trains bf16-compute/f32-params (the
+TPU-native choice); the reference A100 number is fp32/TF32. The field
+makes the dtype asymmetry visible to the driver.
 """
 
 from __future__ import annotations
@@ -42,9 +55,43 @@ from dhg.models.denoiser import DiffusionModel
 
 A100_DENOISE_FWD_EQUIV_PER_SEC = 3000.0  # derived from run.log training rate
 
+# Reference CPU baseline measured 2026-08-20 on THIS host (1 CPU core,
+# torch 2.13.0+cpu single-threaded) via dhg/tools/bench_reference_cpu.py:
+# 60-step loop at T=392 batch 1 = 2.442 s/line charitable torch.no_grad
+# (3.584 s as shipped — infer() records the autograd graph); train step
+# batch 96 = 0.093 steps/s. Used only if the in-run re-measurement fails.
+REFERENCE_CPU_MEASURED = {"line_s": 2.442, "train_steps_per_sec": 0.093}
+
 PROMPT_LEN = 24  # tokens (e.g. "Follow the White Rabbit" + EOS)
 N_STEPS = 60
 TRIALS = 3
+
+
+def measure_cpu_baseline() -> dict:
+    """Re-measure the reference's CPU line cost in-run (~20 s); fall back
+    to the recorded 2026-08-20 measurement if the import breaks."""
+    import os
+
+    if os.environ.get("DHG_BENCH_CPU", "1") != "1":
+        return {**REFERENCE_CPU_MEASURED, "source": "recorded (skipped by env)"}
+    try:
+        from dhg.tools.bench_reference_cpu import bench_sampler
+
+        s = bench_sampler(iters=2)
+        # Conservative denominator: a loaded host slows the torch-CPU loop
+        # more than the (device-bound) TPU path, which would FLATTER
+        # vs_cpu_x — so take the faster of the in-run measurement and the
+        # recorded unloaded-host measurement.
+        measured = s["line_s_no_grad_median"]
+        line_s = min(measured, REFERENCE_CPU_MEASURED["line_s"])
+        return {
+            "line_s": line_s,
+            "line_s_in_run": measured,
+            "train_steps_per_sec": REFERENCE_CPU_MEASURED["train_steps_per_sec"],
+            "source": "measured (min of in-run no_grad and recorded unloaded run)",
+        }
+    except Exception as e:  # torch/reference absent on some hosts
+        return {**REFERENCE_CPU_MEASURED, "source": f"recorded ({type(e).__name__})"}
 
 
 def build(batch: int, seq_len: int, dtype=jnp.bfloat16, hoisted: bool = True):
@@ -176,7 +223,11 @@ def bench_training(batch: int = 96, steps: int = 32, trials: int = TRIALS) -> di
         t0 = time.perf_counter()
         run(trial * steps)
         rates.append(steps / (time.perf_counter() - t0))
-    return {"median": float(np.median(rates)), "trials": [round(r, 2) for r in rates]}
+    return {
+        "median": float(np.median(rates)),
+        "trials": [round(r, 2) for r in rates],
+        "compute_dtype": str(cfg.training_args.compute_dtype or "float32"),
+    }
 
 
 def main():
@@ -209,6 +260,8 @@ def main():
     if os.environ.get("DHG_BENCH_TRAIN", "1") == "1":
         train = bench_training()
 
+    cpu = measure_cpu_baseline()
+
     result = {
         "metric": "denoise_steps_per_sec_per_chip",
         "value": round(float(steps_per_sec), 2),
@@ -226,6 +279,17 @@ def main():
         "train_steps_per_sec_batch96": round(train["median"], 2) if train else None,
         "train_trials": train["trials"] if train else None,
         "train_vs_a100_10.4": round(train["median"] / 10.4, 2) if train else None,
+        "train_compute_dtype": train["compute_dtype"] if train else None,
+        "train_dtype_note": "reference A100 number is fp32/TF32; dhg trains "
+        "bf16-compute/f32-params (TPU-native choice)",
+        "cpu_baseline_line_s": cpu["line_s"],
+        "cpu_baseline_line_s_in_run": cpu.get("line_s_in_run"),
+        "cpu_baseline_source": cpu["source"],
+        "cpu_baseline_host_note": "1-CPU host, torch single-threaded",
+        "vs_cpu_x": round(cpu["line_s"] / p50, 1),
+        "train_vs_cpu_x": round(
+            train["median"] / cpu["train_steps_per_sec"], 1
+        ) if train else None,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
