@@ -29,6 +29,31 @@ logger = logging.getLogger(__name__)
 
 
 def _checkpointer():
+    """A per-process checkpointer.
+
+    Orbax's default save/restore runs GLOBAL barriers when
+    jax.process_count() > 1 — but dhg gates checkpoint WRITES to process 0
+    (dhg/parallel/distributed.py: artifacts are process-0-owned), so a
+    collective save would block process 0 on peers that never call save
+    (measured: the 2-process CPU dryrun hung 5 min in the shutdown
+    barrier). Every payload is already host numpy (_to_numpy) — no
+    cross-process data movement is needed — so barriers are scoped to the
+    calling process alone; restores (which every process performs on
+    resume) read the same files independently."""
+    import jax
+
+    if jax.process_count() > 1:
+        from orbax.checkpoint import options as ocp_options
+
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp_options.MultiprocessingOptions(
+                primary_host=me,
+                active_processes={me},
+                barrier_sync_key_prefix=f"dhgproc{me}",
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 

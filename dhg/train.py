@@ -37,7 +37,8 @@ from dhg.core.losses import diffusion_loss
 from dhg.core.schedule import get_alpha_set, sample_alphas
 from dhg.data.pipeline import DeviceDataset, synthetic_cache
 from dhg.models.denoiser import DiffusionModel
-from dhg.parallel.mesh import DATA_AXIS, make_mesh
+from dhg.parallel import distributed as dist
+from dhg.parallel.mesh import DATA_AXIS, make_mesh, replicated
 from dhg.parallel.sharding import param_shardings
 from dhg.utils.experiment import log_artifacts, prepare_exp
 
@@ -185,6 +186,23 @@ class Trainer:
             mesh_cfg = ta.mesh if isinstance(ta.mesh, dict) else {}
             mesh = make_mesh(model_parallel=mesh_cfg.get("model_parallel") or 1)
         self.mesh = mesh
+        # Multi-process (multi-host) runs: every process executes the same
+        # SPMD program over the GLOBAL mesh; host-side artifacts (run.log,
+        # metrics.jsonl, checkpoints) are owned by process 0 only. See
+        # dhg/parallel/distributed.py.
+        self.write_artifacts = dist.is_main()
+        if dist.is_multiprocess() and int(self.mesh.shape.get("model", 1)) > 1:
+            # Checkpoint D2H on process 0 requires every param shard to be
+            # addressable there; dp-sharding replicates params so that holds,
+            # but cross-host tensor parallelism would need a process
+            # allgather in the saver (not wired — and a ~10M-param model
+            # has no use for cross-host tp).
+            raise NotImplementedError(
+                "model_parallel > 1 across processes is not supported: "
+                "checkpointing would need cross-host gathers; use "
+                "data-parallel across hosts (model_parallel spans only "
+                "process-local devices)"
+            )
         self.saver = AsyncSaver()
         self._eval_step = None
 
@@ -229,7 +247,13 @@ class Trainer:
     # -- data ----------------------------------------------------------------
 
     def load_dataset(self) -> DeviceDataset:
-        return DeviceDataset.from_cache(load_cache(self.cfg, "train"))
+        # Multi-process: jit inputs must be global arrays, so the packed
+        # cache is device_put replicated over the global mesh (every process
+        # loads the identical cache — same config, same seed). Single
+        # process keeps the uncommitted-upload path (replicating would copy
+        # the cache onto every local device for nothing).
+        sharding = replicated(self.mesh) if dist.is_multiprocess() else None
+        return DeviceDataset.from_cache(load_cache(self.cfg, "train"), sharding=sharding)
 
     # -- the step ------------------------------------------------------------
 
@@ -556,16 +580,17 @@ class Trainer:
                             f"Pen: {vals[2]:.3f} | "
                             f"Time: {time.time() - s:.3f} sec"
                         )
-                        _append_jsonl(
-                            exp_dir / "metrics.jsonl",
-                            {
-                                "step": c + 1,
-                                "loss": float(vals[0]),
-                                "score": float(vals[1]),
-                                "pen": float(vals[2]),
-                                "time": round(time.time() - s, 3),
-                            },
-                        )
+                        if self.write_artifacts:
+                            _append_jsonl(
+                                exp_dir / "metrics.jsonl",
+                                {
+                                    "step": c + 1,
+                                    "loss": float(vals[0]),
+                                    "score": float(vals[1]),
+                                    "pen": float(vals[2]),
+                                    "time": round(time.time() - s, 3),
+                                },
+                            )
                         window = []
                 if j0 < rows.shape[0]:
                     window.append(rows[j0:])
@@ -585,17 +610,18 @@ class Trainer:
                         f"Step {count + 1} | Val Loss: {v[0]:.3f} | "
                         f"Val Score: {v[1]:.3f} | Val Pen: {v[2]:.3f}"
                     )
-                    _append_jsonl(
-                        exp_dir / "metrics.jsonl",
-                        {
-                            "step": count + 1,
-                            "val_loss": float(v[0]),
-                            "val_score": float(v[1]),
-                            "val_pen": float(v[2]),
-                        },
-                    )
+                    if self.write_artifacts:
+                        _append_jsonl(
+                            exp_dir / "metrics.jsonl",
+                            {
+                                "step": count + 1,
+                                "val_loss": float(v[0]),
+                                "val_score": float(v[1]),
+                                "val_pen": float(v[2]),
+                            },
+                        )
 
-                if (count + 1) % ta.save_freq == 0:
+                if self.write_artifacts and (count + 1) % ta.save_freq == 0:
                     logger.info("Saving checkpoint...")
                     self.saver.submit(
                         exp_dir / f"checkpoint_{count + 1}",
@@ -608,14 +634,17 @@ class Trainer:
                     )
 
             logger.info("Training finished, saving model weights.")
-            self.saver.submit(
-                exp_dir / "model_final", state.params, ema_params=state.ema_params
-            )
-            self.saver.wait()
-            logger.info(str(exp_dir / "model_final"))
+            if self.write_artifacts:
+                self.saver.submit(
+                    exp_dir / "model_final", state.params, ema_params=state.ema_params
+                )
+                self.saver.wait()
+                logger.info(str(exp_dir / "model_final"))
         except KeyboardInterrupt:
             logger.info("Training interrupted by user.")
             self.saver.wait()
+            if not self.write_artifacts:
+                raise SystemExit(0)
             save_checkpoint(
                 exp_dir / "checkpoint_last",
                 state.params,
@@ -671,11 +700,34 @@ def _install_interrupt_handlers() -> None:
 
 def main(cfg: DLConfig) -> None:
     _install_interrupt_handlers()
+    # Multi-host: process-group init must precede every other JAX call
+    # (it swaps the backend for one that sees the GLOBAL device set).
+    dist.initialize_from_config(cfg)
     trainer = Trainer(cfg)
-    meta, logger = prepare_exp(cfg)
-    logger.info(f"Config:\n{cfg.pretty_text}\n")
+    if dist.is_main():
+        meta, logger = prepare_exp(cfg)
+        logger.info(f"Config:\n{cfg.pretty_text}\n")
+    else:
+        # Non-main processes run the identical SPMD compute in lockstep but
+        # own no artifacts: no run dir, a silent logger, gated writes
+        # (Trainer.write_artifacts). The placeholder exp_dir is never
+        # created or written.
+        import logging as _logging
+        import socket
+
+        meta = {
+            "host_name": socket.gethostname(),
+            "exp_dir": str(
+                Path(cfg.experiment.work_dir or ".")
+                / f"nonmain-process-{jax.process_index()}"
+            ),
+        }
+        logger = _logging.getLogger(f"dhg.nonmain{jax.process_index()}")
+        logger.addHandler(_logging.NullHandler())
+        logger.propagate = False
     trainer.train(meta, logger)
-    log_artifacts(cfg, meta)
+    if dist.is_main():
+        log_artifacts(cfg, meta)
 
 
 if __name__ == "__main__":
