@@ -159,6 +159,7 @@ def build_iam_cache(
     style_apply_fn=None,
     style_batch: int = 32,
     style_weights: str | Path | None = None,
+    style_width_bucket: int = 128,
     workers: int | None = None,
 ) -> IAMCache:
     """Scan the IAM tree and build a packed cache.
@@ -229,7 +230,10 @@ def build_iam_cache(
         raise RuntimeError(f"no valid IAM samples found under {data_dir}")
 
     logger.info("IAM %s: %d samples; extracting style vectors...", kind, len(sample_ids))
-    style = extract_style_vectors(style_imgs, style_apply_fn, style_batch, style_weights)
+    style = extract_style_vectors(
+        style_imgs, style_apply_fn, style_batch, style_weights,
+        width_bucket=style_width_bucket,
+    )
 
     return IAMCache(
         strokes=np.stack(strokes_all).astype(np.float32),
@@ -240,14 +244,26 @@ def build_iam_cache(
 
 
 def extract_style_vectors(
-    style_imgs, style_apply_fn=None, batch: int = 32, style_weights=None
+    style_imgs,
+    style_apply_fn=None,
+    batch: int = 32,
+    style_weights=None,
+    width_bucket: int = 128,
 ) -> np.ndarray:
     """Run the frozen StyleExtractor over style images.
 
-    Images at the common (padded) width run in fixed-shape batches; the rare
-    wider-than-img_width images run individually at their natural width —
-    the reference's adaptive pooling semantics (text_style.py:56), at the
-    cost of one compile per distinct width.
+    Images at the common (padded) width run in fixed-shape batches. The
+    rare wider-than-img_width images keep the reference's adaptive-pooling
+    semantics (natural width, text_style.py:56) but their widths are
+    BUCKETED: each is cv2-resized (cubic, like read_img) to the nearest
+    multiple of `width_bucket` (default 128), then grouped per bucketed shape and run in
+    batches. Why: every distinct width is its own XLA program, and at real
+    scale wide style sources have ~continuous widths — the round-4 12k-line
+    dress rehearsal would have compiled ~240 distinct programs (1-6 min
+    each over the remote-compile tunnel, i.e. many hours) without this.
+    The resize perturbs horizontal scale by <= width_bucket/2 / width
+    (~2-3%); a documented divergence. width_bucket=0 restores exact
+    natural-width extraction (one compile per distinct width).
     """
     if style_apply_fn is None:
         from dhg.models.style_extractor import init_style_extractor
@@ -255,19 +271,48 @@ def extract_style_vectors(
         _, _, style_apply_fn = init_style_extractor(weights_path=style_weights)
 
     shapes = {img.shape for img in style_imgs}
+    if not shapes:
+        return np.zeros((0, 14, 1280), np.float32)
     common = max(shapes, key=lambda s: sum(1 for i in style_imgs if i.shape == s))
     out = [None] * len(style_imgs)
 
+    def run_batched(idx_list, imgs_arr):
+        for lo in range(0, len(imgs_arr), batch):
+            vecs = np.asarray(style_apply_fn(imgs_arr[lo : lo + batch]))
+            for j, idx in enumerate(idx_list[lo : lo + batch]):
+                out[idx] = vecs[j]
+
     batched_idx = [i for i, img in enumerate(style_imgs) if img.shape == common]
     if batched_idx:
-        imgs = np.stack([style_imgs[i] for i in batched_idx]).astype(np.float32)
-        for lo in range(0, len(imgs), batch):
-            vecs = np.asarray(style_apply_fn(imgs[lo : lo + batch]))
-            for j, idx in enumerate(batched_idx[lo : lo + batch]):
-                out[idx] = vecs[j]
-    for i, img in enumerate(style_imgs):
-        if out[i] is None:
-            out[i] = np.asarray(style_apply_fn(img.astype(np.float32)[None]))[0]
+        run_batched(
+            batched_idx,
+            np.stack([style_imgs[i] for i in batched_idx]).astype(np.float32),
+        )
+
+    rest = [i for i, img in enumerate(style_imgs) if out[i] is None]
+    if rest and width_bucket:
+        import cv2
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        resized: dict[int, np.ndarray] = {}
+        for i in rest:
+            img = style_imgs[i]
+            h, w = img.shape
+            wb = max(width_bucket, int(round(w / width_bucket)) * width_bucket)
+            r = (
+                img
+                if wb == w
+                else cv2.resize(
+                    img.astype(np.float32), (wb, h), interpolation=cv2.INTER_CUBIC
+                )
+            )
+            resized[i] = r
+            groups.setdefault((h, wb), []).append(i)
+        for (_, _), idxs in sorted(groups.items()):
+            run_batched(idxs, np.stack([resized[i] for i in idxs]).astype(np.float32))
+    else:
+        for i in rest:
+            out[i] = np.asarray(style_apply_fn(style_imgs[i].astype(np.float32)[None]))[0]
     return np.stack(out).astype(np.float32)
 
 

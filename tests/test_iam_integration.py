@@ -198,3 +198,53 @@ def test_style_source_differs_from_sample(iam_tree):
         np.allclose(cache.style[0], cache.style[1])
         and np.allclose(cache.style[1], cache.style[2])
     )
+
+def test_extract_style_vectors_buckets_wide_widths():
+    """Wider-than-common style images are grouped into width BUCKETS
+    (cv2 resize to the nearest multiple of width_bucket) instead of one
+    XLA program per distinct natural width — at real scale (~240 distinct
+    wide widths in the 12k-line dress rehearsal) per-width compiles over
+    the remote tunnel would cost hours. width_bucket=0 keeps the exact
+    natural-width path."""
+    from dhg.data.iam import extract_style_vectors
+
+    shapes_seen = []
+
+    def stub_apply(b):
+        b = np.asarray(b)
+        shapes_seen.append(b.shape)
+        # Encode the input width into the output so slot placement and
+        # resize targets are both checkable.
+        v = np.zeros((b.shape[0], 14, 1280), np.float32)
+        v[:, 0, 0] = b.shape[2]
+        v[:, 0, 1] = b.mean(axis=(1, 2))
+        return v
+
+    imgs = (
+        [np.full((96, 1400), float(40 + i), np.float32) for i in range(5)]  # common
+        + [
+            np.full((96, 1433), 1.0, np.float32),
+            np.full((96, 1471), 2.0, np.float32),
+            np.full((96, 1490), 3.0, np.float32),
+        ]
+    )
+    out = extract_style_vectors(imgs, stub_apply, batch=4, width_bucket=64)
+    assert out.shape == (8, 14, 1280)
+    # Common batch ran at 1400; wide images bucketed to 64-multiples:
+    # 1433 -> 1408, 1471/1490 -> 1472 (one shared program).
+    widths = sorted(s[2] for s in shapes_seen)
+    assert widths == [1400, 1400, 1408, 1472]
+    # Slot placement survives grouping (mean encodes the source image).
+    assert [round(float(out[i, 0, 1])) for i in range(5)] == [40, 41, 42, 43, 44]
+    assert round(float(out[5, 0, 1])) == 1
+    assert round(float(out[6, 0, 1])) == 2
+    assert round(float(out[7, 0, 1])) == 3
+    assert float(out[5, 0, 0]) == 1408.0
+    assert float(out[6, 0, 0]) == 1472.0 == float(out[7, 0, 0])
+
+    # Exact mode: every wide image runs at its own natural width.
+    shapes_seen.clear()
+    out0 = extract_style_vectors(imgs, stub_apply, batch=4, width_bucket=0)
+    widths0 = sorted(s[2] for s in shapes_seen)
+    assert widths0 == [1400, 1400, 1433, 1471, 1490]
+    assert float(out0[5, 0, 0]) == 1433.0
