@@ -303,13 +303,31 @@ def evaluate_generation(
 
     result: dict = {"split": split, "n": int(n), "ks": compare_stroke_sets(gen, real)}
     if fsd:
-        result["frechet_style_distance"] = round(frechet_style_distance(gen, real), 4)
+        # Embed with the SAME trunk the run trained against
+        # (dataset_args.style_weights — e.g. the in-env writer-
+        # discriminative trunk, dhg/tools/train_style_trunk.py); falls back
+        # to the repo default inside style_features when unset.
+        feature_fn = None
+        sw = cfg.dataset_args.style_weights
+        if sw:
+            import warnings
+
+            from dhg.models.style_extractor import init_style_extractor
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                _, _, apply_fn = init_style_extractor(weights_path=sw)
+            feature_fn = lambda x: np.asarray(apply_fn(x)).mean(axis=1)
+            result["fsd_trunk"] = str(sw)
+        result["frechet_style_distance"] = round(
+            frechet_style_distance(gen, real, feature_fn), 4
+        )
         # Calibration: FSD between two halves of the REAL set — the noise
         # floor the generated score should be read against at this n.
         half = n // 2
         if half >= 2:
             result["fsd_real_vs_real"] = round(
-                frechet_style_distance(real[:half], real[half : 2 * half]), 4
+                frechet_style_distance(real[:half], real[half : 2 * half], feature_fn), 4
             )
     return result
 

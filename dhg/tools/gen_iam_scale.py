@@ -58,44 +58,79 @@ def _stroke_xml(
     slant: float,
     step: float,
     amp: float,
-) -> str:
-    """One line's XML: a rightward-drifting jittered walk split into strokes
-    (IAM coordinates are absolute pen positions in the thousands)."""
+    freq: float = 35.0,
+) -> tuple[str, list[np.ndarray]]:
+    """One line's XML + its stroke point arrays: a rightward-drifting
+    jittered walk split into strokes (IAM coordinates are absolute pen
+    positions in the thousands). The points are returned so the line IMAGE
+    can be rasterized from the SAME trajectory — like real IAM, where the
+    image depicts the strokes, the style image carries genuine mutual
+    information about the writer's stroke statistics (slant / amplitude /
+    frequency). The first cut of this generator drew unrelated scribbles;
+    a model trained on that cache measurably learned to IGNORE style
+    (round-3 finding reproduced), which is exactly the failure this
+    coupling removes."""
     n_strokes = max(3, n_points // rng.randint(40, 90))
     sizes = np.full(n_strokes, n_points // n_strokes)
     sizes[: n_points - sizes.sum()] += 1
     x = 100.0 + rng.rand() * 500
     base_y = 200.0 + rng.rand() * 800
     parts = ["<WhiteboardCaptureSession><StrokeSet>"]
+    stroke_pts: list[np.ndarray] = []
     for sz in sizes:
         t = np.arange(int(sz))
         dx = step + rng.randn(int(sz)) * 2.0
         xs = x + np.cumsum(dx)
-        ys = base_y + amp * np.sin(xs / (30 + 10 * rng.rand())) + slant * (xs - x)
+        # freq is a PER-WRITER trait (with small per-stroke jitter): unlike
+        # amp/step, oscillation frequency survives the per-line std
+        # normalization of the stroke parser, so it carries writer identity
+        # into normalized stroke space — the signal the style-conditioning
+        # pathway can actually exploit.
+        ys = base_y + amp * np.sin(xs / (freq * (0.9 + 0.2 * rng.rand()))) + slant * (xs - x)
         ys += rng.randn(int(sz)) * 1.5
         x = xs[-1] + step * rng.randint(2, 6)
+        xi, yi = xs.astype(np.int64), ys.astype(np.int64)
         pts = "".join(
-            f'<Point x="{int(px)}" y="{int(py)}" time="{int(tt)}"/>'
-            for px, py, tt in zip(xs, ys, t)
+            f'<Point x="{px}" y="{py}" time="{tt}"/>'
+            for px, py, tt in zip(xi, yi, t)
         )
         parts.append("<Stroke>" + pts + "</Stroke>")
+        stroke_pts.append(np.stack([xi, yi], 1).astype(np.float64))
     parts.append("</StrokeSet></WhiteboardCaptureSession>")
-    return "".join(parts)
+    return "".join(parts), stroke_pts
 
 
 def _line_image(
-    rng: np.random.RandomState, width: int, height: int = 140
+    rng: np.random.RandomState,
+    stroke_pts: list[np.ndarray],
+    pen_px: int,
+    height: int = 140,
+    force_wide: bool = False,
 ) -> np.ndarray:
+    """Rasterize the line's own strokes into a [height, width] grayscale
+    image (dark ink on white, per-form pen thickness). The ink is scaled to
+    ~65 px tall; lines whose aspect would exceed the post-resize img_width
+    drop threshold are horizontally compressed to stay under it (so ~all
+    lines survive the reference's width filter), except force_wide ones,
+    which are left wide to exercise that filter."""
+    import cv2
+
+    all_pts = np.concatenate(stroke_pts)
+    lo, hi = all_pts.min(0), all_pts.max(0)
+    ink_h = max(hi[1] - lo[1], 1.0)
+    scale_y = 65.0 / ink_h
+    sx = scale_y
+    w = (hi[0] - lo[0]) * sx
+    if w > 840 and not force_wide:
+        sx *= 840.0 / w
+    width = int((hi[0] - lo[0]) * sx) + 16
     img = np.full((height, width), 255, np.uint8)
-    n = max(80, width // 2)
-    xs = np.linspace(8, width - 8, n).astype(int)
-    ys = (
-        height // 2
-        + 28 * np.sin(xs / (12.0 + 8 * rng.rand()))
-        + rng.randn(n) * 2.5
-    ).astype(int)
-    img[np.clip(ys, 2, height - 3), xs] = 0
-    img[np.clip(ys + 1, 2, height - 3), xs] = 0
+    y0 = (height - 65) / 2.0
+    for pts in stroke_pts:
+        px = ((pts[:, 0] - lo[0]) * sx + 8).astype(np.int32)
+        py = ((pts[:, 1] - lo[1]) * scale_y + y0).astype(np.int32)
+        poly = np.stack([px, py], 1).reshape(-1, 1, 2)
+        cv2.polylines(img, [poly], False, 0, thickness=pen_px, lineType=cv2.LINE_AA)
     return img
 
 
@@ -131,6 +166,8 @@ def main(
             slant = rng.randn() * 0.06
             step = 6.0 + rng.rand() * 6.0
             amp = 15.0 + rng.rand() * 25.0
+            freq = 18.0 + rng.rand() * 50.0  # per-writer oscillation period
+            pen_px = rng.randint(1, 4)  # per-form pen thickness (image only)
 
             k = max(3, lines_per_form + rng.randint(-2, 3))
             texts = []
@@ -143,18 +180,15 @@ def main(
                 n_pts = rng.randint(500, 900)
                 if rng.rand() < 0.02:
                     n_pts = rng.randint(1300, 1800)  # survives 3x combine > 480
-                (root_p / "lineStrokes" / d1 / d2 / f"{sid}.xml").write_text(
-                    _stroke_xml(rng, n_pts, slant, step, amp)
-                )
-                # read_img crops to the ink bbox (~62 rows here) then
-                # resizes to height 96, scaling width ~1.55x — so raw
-                # widths up to ~830 stay under the 1400 drop threshold.
-                width = rng.randint(350, 820)
-                if rng.rand() < 0.02:
-                    width = rng.randint(950, 1300)  # >= 1400 after resize
+                xml, stroke_pts = _stroke_xml(rng, n_pts, slant, step, amp, freq)
+                (root_p / "lineStrokes" / d1 / d2 / f"{sid}.xml").write_text(xml)
+                # The image is rasterized from the SAME strokes (see
+                # _line_image); ~2% keep their natural (wide) aspect to
+                # exercise the >= img_width drop filter after read_img's
+                # crop-and-resize-to-96.
                 cv2.imwrite(
                     str(root_p / "lineImages" / d1 / d2 / f"{sid}.tif"),
-                    _line_image(rng, width),
+                    _line_image(rng, stroke_pts, pen_px, force_wide=rng.rand() < 0.02),
                 )
                 n_lines += 1
             (root_p / "ascii" / d1 / d2 / f"{form}.txt").write_text(

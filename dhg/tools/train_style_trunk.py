@@ -112,6 +112,55 @@ def build_training_set(
     return np.stack(imgs), np.asarray(labels, np.int32)
 
 
+def build_tree_training_set(
+    tree_root: str,
+    n_forms: int = 512,
+    width: int = 384,
+    min_lines: int = 3,
+    holdout_forms: int = 64,
+    seed: int = 0,
+):
+    """Training set from an IAM-shaped tree: writer = FORM (one writer
+    bundle per form in gen_iam_scale; one physical writer per form in real
+    IAM). Line images are read through the dataset's own read_img (crop +
+    resize to height 96), then right-padded with white or randomly cropped
+    to a fixed width — in-domain with the images the cache build feeds the
+    extractor, unlike the parametric glyph renderer.
+
+    Returns (imgs u8 [N,96,width], labels i32 [N], holdout_imgs,
+    holdout_labels) with the holdout forms DISJOINT from training."""
+    from collections import defaultdict
+    from pathlib import Path
+
+    from dhg.data.images import read_img
+
+    rng = np.random.RandomState(seed)
+    by_form: dict[str, list] = defaultdict(list)
+    for p in sorted(Path(tree_root, "lineImages").rglob("*.tif")):
+        by_form[p.name.rsplit("-", 1)[0]].append(p)
+    forms = [f for f, ps in sorted(by_form.items()) if len(ps) >= min_lines]
+    rng.shuffle(forms)
+    train_forms = forms[:n_forms]
+    hold_forms = forms[n_forms : n_forms + holdout_forms]
+
+    def load_set(form_list):
+        imgs, labels = [], []
+        for li, form in enumerate(form_list):
+            for p in by_form[form]:
+                img = read_img(p, 96)
+                w = img.shape[1]
+                if w < width:
+                    img = np.pad(img, ((0, 0), (0, width - w)), constant_values=255)
+                else:
+                    lo = rng.randint(0, w - width + 1)
+                    img = img[:, lo : lo + width]
+                imgs.append(img.astype(np.uint8))
+                labels.append(li)
+        return np.stack(imgs), np.asarray(labels, np.int32)
+
+    return (*load_set(train_forms), *load_set(hold_forms))
+
+
 def train(
     steps: int = 600,
     writers: int = 128,
@@ -122,6 +171,7 @@ def train(
     seed: int = 0,
     out: str | None = None,
     log_every: int = 50,
+    tree: str | None = None,
 ) -> dict:
     import flax
     import flax.linen as nn
@@ -132,10 +182,20 @@ def train(
     from dhg.models.style_extractor import StyleExtractor
 
     t0 = time.time()
-    imgs, labels = build_training_set(writers, per_writer, width)
+    holdout = None
+    if tree:
+        # In-domain mode: writer = form of an IAM-shaped tree, images read
+        # through the dataset's own pipeline (see build_tree_training_set).
+        imgs, labels, h_imgs, h_labels = build_tree_training_set(
+            tree, n_forms=writers, width=width, seed=seed
+        )
+        writers = int(labels.max()) + 1
+        holdout = (h_imgs, h_labels)
+    else:
+        imgs, labels = build_training_set(writers, per_writer, width)
     print(
         f"training set: {imgs.shape} ({imgs.nbytes / 1e6:.0f} MB), "
-        f"{writers} writers x {per_writer} lines, rendered in {time.time() - t0:.1f}s",
+        f"{writers} writers, built in {time.time() - t0:.1f}s",
         flush=True,
     )
 
@@ -212,7 +272,29 @@ def train(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(out_path, **{k: np.asarray(v) for k, v in flat.items()})
     print(f"saved trained trunk -> {out_path} ({out_path.stat().st_size / 1e6:.1f} MB)")
-    return {"out": str(out_path), "final_ce": float(ce), "final_acc": float(acc)}
+    res = {"out": str(out_path), "final_ce": float(ce), "final_acc": float(acc)}
+    if holdout is not None:
+        from dhg.tools.eval_style_gap import _retrieval_metrics
+
+        h_imgs, h_labels = holdout
+        feats = []
+        for lo in range(0, len(h_imgs), 32):
+            x = jnp.asarray(h_imgs[lo : lo + 32]).astype(jnp.float32)
+            feats.append(
+                np.asarray(
+                    extractor.apply(
+                        {"params": ext_params, "batch_stats": ext_stats}
+                        if ext_stats
+                        else {"params": ext_params},
+                        x,
+                    )
+                ).reshape(x.shape[0], -1)
+            )
+        res["holdout_retrieval"] = _retrieval_metrics(
+            np.concatenate(feats), np.asarray(h_labels)
+        )
+        print("holdout (unseen forms, same tree):", json.dumps(res["holdout_retrieval"]))
+    return res
 
 
 def evaluate(weights: str | None) -> dict:
@@ -239,11 +321,12 @@ def main():
     kv = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:] if "=" in a)
     ints = {k: int(v) for k, v in kv.items() if k in
             ("steps", "writers", "per_writer", "batch", "width", "seed", "log_every")}
-    res = train(out=kv.get("out"), lr=float(kv.get("lr", 3e-4)), **ints)
-    print("== held-out retrieval (8 benchmark writers, other renderer) ==")
-    trained = evaluate(res["out"])
-    print("  trained trunk:", json.dumps(trained))
-    print("(random-trunk baseline 45.8%, raw-pixel 47.9% — PERFORMANCE.md)")
+    res = train(out=kv.get("out"), lr=float(kv.get("lr", 3e-4)), tree=kv.get("tree"), **ints)
+    if "tree" not in kv:
+        print("== held-out retrieval (8 benchmark writers, other renderer) ==")
+        trained = evaluate(res["out"])
+        print("  trained trunk:", json.dumps(trained))
+        print("(random-trunk baseline 45.8%, raw-pixel 47.9% — PERFORMANCE.md)")
 
 
 if __name__ == "__main__":
