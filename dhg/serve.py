@@ -88,7 +88,11 @@ import numpy as np
 from dhg.core.sampling import infer_seq_len
 from dhg.data.tokenizer import Tokenizer
 
-BATCH_SIZES = (1, 2, 4, 8, 16)
+# Power-of-two co-batch sizes; a service instance uses the prefix of this
+# grid up to its max_batch (default 16; raise via --max_batch to warm and
+# serve bigger co-batches — the chip's throughput sweet spot is batch 256,
+# PERFORMANCE.md hoist sweep, so a throughput tier wants 32-64+).
+BATCH_SIZES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 
 
 class Draining(RuntimeError):
@@ -145,6 +149,11 @@ class GenerationService:
         self.max_text_len = max_text_len
         self.batch_window = batch_window_ms / 1000.0
         self.max_batch = max_batch
+        if max_batch not in BATCH_SIZES:
+            raise ValueError(
+                f"max_batch must be one of {BATCH_SIZES}, got {max_batch}"
+            )
+        self.batch_sizes = tuple(b for b in BATCH_SIZES if b <= max_batch)
         # Paragraph-mode page cap: every wrapped line is a sampler job, so
         # an unbounded prompt would enqueue thousands of jobs and head-of-
         # line-block other clients. Pages over this many lines get a 400.
@@ -191,27 +200,45 @@ class GenerationService:
         self._batcher.start()
 
     @classmethod
-    def from_experiment(cls, experiment_path: str, source: str | None = None):
+    def from_experiment(
+        cls,
+        experiment_path: str,
+        source: str | None = None,
+        max_batch: int = 16,
+        batch_window_ms: float = 5.0,
+    ):
         from dhg.checkpoint import load_model, resolve_checkpoint
+        from dhg.config import DLConfig
 
         exp = Path(experiment_path)
         ckpt = resolve_checkpoint(exp)
         if ckpt is None:
             raise FileNotFoundError(f"no checkpoint under {experiment_path}")
         model, params = load_model(exp / "config.yml", ckpt)
+        cfg = DLConfig.load(exp / "config.yml")
         if source:
             from dhg.inference import style_from_image
 
             paths = [s for s in str(source).split(",") if s.strip()]
+            # Embed with the trunk the run trained against (same fallback
+            # chain as dhg.inference.infer: config's style_weights, then
+            # the repo default).
             style = jnp.concatenate(
-                [jnp.asarray(style_from_image(p.strip())) for p in paths]
+                [
+                    jnp.asarray(
+                        style_from_image(
+                            p.strip(),
+                            style_weights=cfg.dataset_args.style_weights,
+                        )
+                    )
+                    for p in paths
+                ]
             )
         else:
             style = jnp.zeros((1, 14, 1280))
-        service = cls(model, params, style)
-        from dhg.config import DLConfig
-
-        cfg = DLConfig.load(exp / "config.yml")
+        service = cls(
+            model, params, style, max_batch=max_batch, batch_window_ms=batch_window_ms
+        )
         if cfg.training_args.distilled_steps:
             service.schedule = "halved"
             service.distilled_steps = int(cfg.training_args.distilled_steps)
@@ -236,9 +263,8 @@ class GenerationService:
                 return b
         return max(self.buckets) if self.buckets else exact
 
-    @staticmethod
-    def _pad_batch_size(n: int) -> int:
-        for b in BATCH_SIZES:
+    def _pad_batch_size(self, n: int) -> int:
+        for b in self.batch_sizes:
             if b >= n:
                 return b
         return n
@@ -289,7 +315,7 @@ class GenerationService:
                     for g in scales:
                         for k in steps_values:
                             for tau in temp_values:
-                                for b in BATCH_SIZES:
+                                for b in self.batch_sizes:
                                     group = [
                                         _Pending(
                                             [3, 1], i, mode, g, seq_len,
@@ -758,7 +784,10 @@ def main(argv=None):
 
     kw = parse_cli_kwargs(argv if argv is not None else sys.argv[1:], help_text=__doc__)
     service = GenerationService.from_experiment(
-        kw["experiment_path"], source=kw.get("source")
+        kw["experiment_path"],
+        source=kw.get("source"),
+        max_batch=int(kw.get("max_batch", 16)),
+        batch_window_ms=float(kw.get("batch_window_ms", 5.0)),
     )
     # "--warmup_buckets=" (empty; yaml-parses to None) skips warmup entirely
     # — useful for smoke tests; production launches keep the default warm

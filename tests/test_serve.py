@@ -551,3 +551,31 @@ def test_serve_cli_sigterm_drains_and_exits(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_max_batch_scales_batch_size_grid():
+    """--max_batch widens the co-batch grid (powers of two up to the cap);
+    warmup + padding then use the same instance grid, so a 64-cap server
+    warms and serves batch-32/64 programs toward the chip's batch-256
+    sweet spot (PERFORMANCE.md)."""
+    import pytest
+
+    from dhg.models.denoiser import DiffusionModel
+
+    model = DiffusionModel(num_layers=1, c1=32, c2=48, c3=64)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 24, 2)),
+        jnp.zeros((1, 50), jnp.int32),
+        jnp.ones((1, 1)),
+        jnp.zeros((1, 14, 1280)),
+    )["params"]
+    svc = GenerationService(model, params, jnp.zeros((1, 14, 1280)), max_batch=64)
+    assert svc.batch_sizes == (1, 2, 4, 8, 16, 32, 64)
+    assert svc._pad_batch_size(17) == 32
+    assert svc._pad_batch_size(33) == 64
+    assert svc._pad_batch_size(64) == 64
+    svc.shutdown(timeout=5)
+
+    with pytest.raises(ValueError, match="max_batch"):
+        GenerationService(model, params, jnp.zeros((1, 14, 1280)), max_batch=24)
