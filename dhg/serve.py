@@ -768,12 +768,21 @@ def make_handler(service: GenerationService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # The socketserver default listen backlog is 5: a burst of >= ~32
+    # simultaneous connects overflows the kernel accept queue and later
+    # SYNs get RST (measured round 4: 49/512 requests died with
+    # ConnectionResetError at 128 concurrent clients). A continuous-
+    # batching server EXPECTS bursts of max_batch+ concurrent connects.
+    request_queue_size = 512
+
+
 def serve(service: GenerationService, port: int = 8008, warmup_buckets=(200, 400),
           warmup_modes: tuple[str, ...] = ("new", "standard"), warmup_guided: bool = False,
           warm_steps: tuple[int, ...] = (), warm_temps: tuple[float, ...] = ()):
     service.warmup(list(warmup_buckets), modes=warmup_modes, guided=warmup_guided,
                    steps=warm_steps, temps=warm_temps)
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    httpd = _Server(("127.0.0.1", port), make_handler(service))
     return httpd
 
 
