@@ -62,6 +62,12 @@ A100_DENOISE_FWD_EQUIV_PER_SEC = 3000.0  # derived from run.log training rate
 # batch 96 = 0.093 steps/s. Used only if the in-run re-measurement fails.
 REFERENCE_CPU_MEASURED = {"line_s": 2.442, "train_steps_per_sec": 0.093}
 
+# Train-step FLOPs from XLA cost analysis at batch 96, measured 2026-08-20
+# (dhg/tools/profile_train; scales linearly with batch — verified at 192
+# and 384). v5e bf16 peak as in PERFORMANCE.md's rooflines.
+TRAIN_FLOPS_PER_STEP_B96 = 603.45e9
+V5E_BF16_PEAK_FLOPS = 197e12
+
 PROMPT_LEN = 24  # tokens (e.g. "Follow the White Rabbit" + EOS)
 N_STEPS = 60
 TRIALS = 3
@@ -280,6 +286,9 @@ def main():
         "train_trials": train["trials"] if train else None,
         "train_vs_a100_10.4": round(train["median"] / 10.4, 2) if train else None,
         "train_compute_dtype": train["compute_dtype"] if train else None,
+        "train_mfu": round(
+            train["median"] * TRAIN_FLOPS_PER_STEP_B96 / V5E_BF16_PEAK_FLOPS, 4
+        ) if train else None,
         "train_dtype_note": "reference A100 number is fp32/TF32; dhg trains "
         "bf16-compute/f32-params (TPU-native choice)",
         "cpu_baseline_line_s": cpu["line_s"],
