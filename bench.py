@@ -18,6 +18,25 @@ noisy tunnel with single-window timing):
     device time + transport;
   * p50 pools 3 x 10 fenced calls instead of one 10-call window.
 
+Round-5 hardening — the round-4 driver run NEVER PRINTED (rc=124: the
+remote-compile wall time grew past the driver's timeout once the in-run
+CPU baseline landed). Two structural fixes:
+  * CONCURRENT COMPILES: the remote compile service overlaps concurrent
+    requests almost perfectly (measured: 3 programs compiled in 0.7 s wall
+    vs 4.1 s sequentially), and compilation does not occupy the chip — so
+    the samplers, the train-step programs, and the torch-CPU baseline all
+    compile/measure in worker threads while the main thread runs its
+    phases. Device EXECUTIONS from workers are gated on a quiet flag so
+    they never land inside a measurement window.
+  * A WATCHDOG + SIGTERM handler: every completed trial lands in a shared
+    result dict, and the one JSON line is emitted from whatever has been
+    measured when (a) all phases finish, (b) the internal deadline
+    (DHG_BENCH_DEADLINE_S, default 780 s — the sequential round-4 bench
+    took 15m24s on this host and the driver's budget is ~15 min) expires,
+    or (c) SIGTERM/SIGINT arrives. Unmeasured fields are null, bench_status says which phase was
+    cut, and phase progress is logged to stderr with timestamps so a
+    truncated tail is still diagnosable.
+
 vs_baseline: the reference publishes no sampler numbers (BASELINE.md). Its
 only quantitative record is training at ~10.4 steps/s @ batch 96 on one
 A100 (~1,000 samples/s, run.log) — one training step costs ~3 denoiser-
@@ -25,12 +44,12 @@ equivalent passes (fwd+bwd), i.e. the A100 sustains ~3,000 denoiser-fwd-
 equivalents/s. We use that as the cross-accelerator baseline for
 denoise steps/sec/chip.
 
-vs_cpu_x (round 4): the BASELINE ">= 20x vs CPU" target is now checked
-against a MEASURED denominator, not an estimate: bench.py re-times the
-reference's own 60-step CPU loop in-run (dhg/tools/bench_reference_cpu.py
-imports /root/reference's real model + step rules; charitable no-grad
-variant) and divides by the per-call-fenced p50. If the reference import
-fails, the 2026-08-20 measurement on this host is used instead and
+vs_cpu_x (round 4): the BASELINE ">= 20x vs CPU" target is checked against
+a MEASURED denominator, not an estimate: bench.py re-times the reference's
+own 60-step CPU loop in-run (dhg/tools/bench_reference_cpu.py imports
+/root/reference's real model + step rules; charitable no-grad variant) and
+divides by the per-call-fenced p50. If the reference import fails, the
+2026-08-20 measurement on this host is used instead and
 cpu_baseline_source says "recorded". Caveat disclosed in the JSON: this
 host exposes ONE CPU core (torch single-threaded), so the CPU denominator
 is a 1-thread number.
@@ -43,15 +62,17 @@ makes the dtype asymmetry visible to the driver.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dhg.core.sampling import diffusion_sample, infer_seq_len
-from dhg.inference import make_denoise_fn
-from dhg.models.denoiser import DiffusionModel
+from dhg.core.sampling import infer_seq_len
 
 A100_DENOISE_FWD_EQUIV_PER_SEC = 3000.0  # derived from run.log training rate
 
@@ -71,13 +92,116 @@ V5E_BF16_PEAK_FLOPS = 197e12
 PROMPT_LEN = 24  # tokens (e.g. "Follow the White Rabbit" + EOS)
 N_STEPS = 60
 TRIALS = 3
+CHUNK = 16  # steps per train device program (Trainer.make_chunk_fn)
+
+T0 = time.monotonic()
+RESULT: dict = {}  # raw measurements, filled incrementally by all threads
+_LOCK = threading.Lock()
+_EMITTED = threading.Event()
+# Workers wait on this before any device EXECUTION so background warmups
+# never pollute a measurement window (compiles are remote and unaffected).
+DEVICE_QUIET = threading.Event()
+DEVICE_QUIET.set()
+PHASE = ["startup"]
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - T0:5.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def put(**kv) -> None:
+    with _LOCK:
+        RESULT.update(kv)
+
+
+def phase(name: str) -> None:
+    PHASE[0] = name
+    log(f"phase: {name}")
+
+
+def assemble(status: str) -> dict:
+    with _LOCK:
+        r = dict(RESULT)
+
+    def rnd(x, n):
+        return round(x, n) if x is not None else None
+
+    steps_per_sec = r.get("steps_per_sec")
+    p50 = r.get("p50")
+    rtt = r.get("rtt")
+    train = r.get("train")  # dict or None
+    cpu = r.get("cpu") or {**REFERENCE_CPU_MEASURED, "source": "recorded (in-run measurement did not finish)"}
+    return {
+        "metric": "denoise_steps_per_sec_per_chip",
+        "value": rnd(steps_per_sec, 2),
+        "unit": "denoiser_fwd/s",
+        "vs_baseline": rnd(
+            steps_per_sec / A100_DENOISE_FWD_EQUIV_PER_SEC if steps_per_sec else None, 3
+        ),
+        "p50_line_latency_s": rnd(p50, 4),
+        "p50_device_only_s": rnd(max(p50 - rtt, 0.0) if p50 is not None and rtt is not None else None, 4),
+        "tunnel_rtt_ms": rnd(rtt * 1000 if rtt is not None else None, 2),
+        "batch": 256,
+        "seq_len": r.get("seq_len"),
+        "n_diffusion_steps": N_STEPS,
+        "trials": TRIALS,
+        "throughput_trial_ms_per_call": [round(s * 1000, 1) for s in r.get("sec_trials", [])],
+        "throughput_timing": "sustained-dispatch median-of-trials (p50 is per-call fenced)",
+        "train_steps_per_sec_batch96": rnd(train["median"], 2) if train else None,
+        "train_trials": train["trials"] if train else None,
+        "train_vs_a100_10.4": rnd(train["median"] / 10.4, 2) if train else None,
+        "train_compute_dtype": train["compute_dtype"] if train else None,
+        "train_mfu": rnd(
+            train["median"] * TRAIN_FLOPS_PER_STEP_B96 / V5E_BF16_PEAK_FLOPS, 4
+        ) if train else None,
+        "train_dtype_note": "reference A100 number is fp32/TF32; dhg trains "
+        "bf16-compute/f32-params (TPU-native choice)",
+        "cpu_baseline_line_s": cpu["line_s"],
+        "cpu_baseline_line_s_in_run": cpu.get("line_s_in_run"),
+        "cpu_baseline_source": cpu["source"],
+        "cpu_baseline_host_note": "1-CPU host, torch single-threaded",
+        "vs_cpu_x": rnd(cpu["line_s"] / p50 if p50 else None, 1),
+        "train_vs_cpu_x": rnd(
+            train["median"] / cpu["train_steps_per_sec"], 1
+        ) if train else None,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "bench_status": status,
+        "bench_wall_s": round(time.monotonic() - T0, 1),
+    }
+
+
+def emit(status: str) -> None:
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    log(f"emitting ({status})")
+    print(json.dumps(assemble(status)), flush=True)
+    sys.stdout.flush()
+
+
+def install_guards(deadline_s: float) -> None:
+    def on_signal(signum, frame):  # noqa: ARG001
+        emit(f"partial (signal {signum} during phase '{PHASE[0]}')")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    def watchdog():
+        while not _EMITTED.is_set():
+            left = deadline_s - (time.monotonic() - T0)
+            if left <= 0:
+                emit(f"partial (deadline {deadline_s:.0f}s during phase '{PHASE[0]}')")
+                os._exit(0)
+            time.sleep(min(left, 5.0))
+
+    threading.Thread(target=watchdog, daemon=True, name="watchdog").start()
 
 
 def measure_cpu_baseline() -> dict:
     """Re-measure the reference's CPU line cost in-run (~20 s); fall back
     to the recorded 2026-08-20 measurement if the import breaks."""
-    import os
-
     if os.environ.get("DHG_BENCH_CPU", "1") != "1":
         return {**REFERENCE_CPU_MEASURED, "source": "recorded (skipped by env)"}
     try:
@@ -100,32 +224,33 @@ def measure_cpu_baseline() -> dict:
         return {**REFERENCE_CPU_MEASURED, "source": f"recorded ({type(e).__name__})"}
 
 
-def build(batch: int, seq_len: int, dtype=jnp.bfloat16, hoisted: bool = True):
+def make_model_and_params(seq_len: int, dtype=jnp.bfloat16):
+    """One JITTED init, shared by every sampler batch size. Eager flax init
+    dispatches hundreds of tiny programs — on the axon tunnel each pays a
+    remote per-op compile + RTT, measured at ~4.5 min for two concurrent
+    eager inits (round 5); jitted it is one program."""
+    from dhg.models.denoiser import DiffusionModel
+
     model = DiffusionModel(num_layers=2, dtype=dtype)
-    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, seq_len, 2)),
+        jnp.ones((1, 50), jnp.int32),
+        jnp.ones((1, 1)),
+        jnp.zeros((1, 14, 1280)),
+    )["params"]
+    return model, params
+
+
+def build(model, params, batch: int, seq_len: int):
+    """The canonical hoisted sampler closure for (batch, seq_len)."""
+    from dhg.inference import _sample_jit
+
     text = jax.random.randint(jax.random.PRNGKey(1), (batch, 50), 1, 73)
     style = jax.random.normal(jax.random.PRNGKey(2), (batch, 14, 1280))
-    params = model.init(
-        key,
-        jnp.zeros((1, seq_len, 2)),
-        text[:1],
-        jnp.ones((1, 1)),
-        style[:1],
-    )["params"]
 
-    if hoisted:
-        from dhg.inference import _sample_jit
-
-        def sample(k):
-            return _sample_jit(model, params, (text, style), batch, seq_len, k, None, "new")
-
-        return sample
-
-    denoise = make_denoise_fn(model, params, text, style)
-
-    @jax.jit
     def sample(k):
-        return diffusion_sample(denoise, k, batch, seq_len)
+        return _sample_jit(model, params, (text, style), batch, seq_len, k, None, "new")
 
     return sample
 
@@ -183,126 +308,202 @@ def timed_sustained(fn, key, iters: int, salt: int = 0) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_training(batch: int = 96, steps: int = 32, trials: int = TRIALS) -> dict:
+class TrainPrep(threading.Thread):
+    """Build the Trainer and compile/warm the chunked train-step program in
+    the background. Compiles are remote (device-free); the three warmup
+    EXECUTIONS (one c1 chunk + two c2 chunks, 48 steps total — the same
+    compile#1/compile#2/steady-state sequence the sequential path pays) wait
+    on DEVICE_QUIET so they slot between the main thread's measurement
+    windows. Falls back to the plain jit-wrapper path on any AOT surprise.
+
+    After join(): .chunk_call(state, key, counts) runs a steady-state chunk
+    and .state is the warmed (layout-stable) TrainState.
+    """
+
+    def __init__(self, batch: int = 96):
+        super().__init__(name="train-prep", daemon=True)
+        self.batch = batch
+        self.err: Exception | None = None
+        self.chunk_call = None
+        self.state = None
+        self.compute_dtype = None
+
+    def _quiet_exec(self, fn):
+        DEVICE_QUIET.wait()
+        return fn()
+
+    def run(self):
+        try:
+            from dhg.config import DLConfig, fit_config
+            from dhg.train import Trainer
+
+            cfg = DLConfig(
+                fit_config(
+                    config="smoke.yml",
+                    **{
+                        "training_args.batch_size": self.batch,
+                        "training_args.max_files": 256,
+                    },
+                )
+            )
+            self.compute_dtype = str(cfg.training_args.compute_dtype or "float32")
+            t = Trainer(cfg)
+            data = t.load_dataset()
+            state = t.init_state(0)
+            chunk = t.make_chunk_fn(data)
+            jitted, arrays = chunk.jitted, chunk.arrays
+            key = jax.random.PRNGKey(0)
+            counts = jnp.arange(10_000, 10_000 + CHUNK, dtype=jnp.int32)
+            log("train-prep: compiling chunk program (init layouts)")
+            try:
+                c1 = jitted.lower(state, key, counts, arrays).compile()
+                log("train-prep: compile#1 done; warmup exec 1")
+                state, rows = self._quiet_exec(lambda: c1(state, key, counts, arrays))
+                np.asarray(rows[-1])
+                log("train-prep: compiling chunk program (donated layouts)")
+                c2 = jitted.lower(state, key, counts, arrays).compile()
+                log("train-prep: compile#2 done; warmup execs 2+3")
+                for lo in (20_000, 30_000):
+                    cts = jnp.arange(lo, lo + CHUNK, dtype=jnp.int32)
+                    state, rows = self._quiet_exec(lambda: c2(state, key, cts, arrays))
+                np.asarray(rows[-1])
+                self.chunk_call = lambda s, k, c: c2(s, k, c, arrays)
+            except Exception as e:
+                # AOT layout capture is backend-dependent; fall back to the
+                # jit wrapper (same programs, compiled at call time).
+                log(f"train-prep: AOT path failed ({type(e).__name__}: {e}); jit-wrapper fallback")
+                for lo in (10_000, 20_000, 30_000):
+                    cts = jnp.arange(lo, lo + CHUNK, dtype=jnp.int32)
+                    state, rows = self._quiet_exec(lambda: chunk(state, key, cts))
+                    np.asarray(rows[-1])
+                self.chunk_call = chunk
+            self.state = state
+            log("train-prep: ready")
+        except Exception as e:
+            self.err = e
+            log(f"train-prep: FAILED ({type(e).__name__}: {e})")
+
+
+def bench_training(prep: TrainPrep, steps: int = 32, trials: int = TRIALS) -> dict | None:
     """Fused train-step throughput (steps/s) at the reference's best-run
     batch size on synthetic data — comparable to run.log's ~10.4 steps/s
-    on one A100. Median over `trials` windows of `steps` steps."""
-    from dhg.config import DLConfig, fit_config
-    from dhg.train import Trainer
-
-    cfg = DLConfig(
-        fit_config(
-            config="smoke.yml",
-            **{"training_args.batch_size": batch, "training_args.max_files": 256},
-        )
-    )
-    t = Trainer(cfg)
-    data = t.load_dataset()
-    state = t.init_state(0)
-    # The production loop scans up to 16 steps per device program
-    # (Trainer.make_chunk_fn — the per-step host loop was dispatch-bound at
-    # ~50 steps/s with ±40% tunnel noise); measure that same path.
-    chunk = t.make_chunk_fn(data)
+    on one A100. Median over `trials` windows of `steps` steps, all on the
+    warmed steady-state program prepared by TrainPrep."""
+    if prep.err is not None or prep.chunk_call is None:
+        return None
+    state = prep.state
     key = jax.random.PRNGKey(0)
-
-    # Whole 16-step chunks only: `steps` rounds UP to a multiple of 16 and
-    # the rate divides by the steps actually executed.
-    steps = -(-steps // 16) * 16
-
-    def run(base: int) -> None:
-        # 16-step chunks exactly like Trainer.train's auto mode, one D2H
-        # fence at the end of the window (see timed()).
-        nonlocal state
-        rows = None
-        for lo in range(base, base + steps, 16):
-            counts = jnp.arange(lo, lo + 16, dtype=jnp.int32)
-            state, rows = chunk(state, key, counts)
-        np.asarray(rows[-1])
-
-    # Two warm-ups: the first compiles; the second absorbs the one-time
-    # recompile when the returned (donated) state's layouts replace the
-    # init-time ones.
-    run(10_000)
-    run(20_000)
+    steps = -(-steps // CHUNK) * CHUNK
     rates = []
     for trial in range(trials):
         t0 = time.perf_counter()
-        run(trial * steps)
+        rows = None
+        for lo in range(trial * steps, (trial + 1) * steps, CHUNK):
+            counts = jnp.arange(lo, lo + CHUNK, dtype=jnp.int32)
+            state, rows = prep.chunk_call(state, key, counts)
+        np.asarray(rows[-1])
         rates.append(steps / (time.perf_counter() - t0))
     return {
         "median": float(np.median(rates)),
         "trials": [round(r, 2) for r in rates],
-        "compute_dtype": str(cfg.training_args.compute_dtype or "float32"),
+        "compute_dtype": prep.compute_dtype,
     }
 
 
 def main():
+    deadline = float(os.environ.get("DHG_BENCH_DEADLINE_S", "780"))
+    install_guards(deadline)
     seq_len = infer_seq_len(PROMPT_LEN)  # 392
+    put(seq_len=seq_len)
     key = jax.random.PRNGKey(123)
 
-    rtt = measure_tunnel_rtt()
+    # Background workers: everything that can compile/measure off the
+    # device path starts immediately.
+    cpu_holder: dict = {}
 
-    # Throughput: batch-256 sampler (BASELINE config 5's sweep batch size),
-    # sustained dispatch (see timed_sustained for the methodology note),
-    # median of TRIALS independent 6-call windows.
-    batch = 256
-    sample_b = build(batch, seq_len)
-    jax.block_until_ready(sample_b(key))  # compile
-    sec_trials = [timed_sustained(sample_b, key, 6, salt=100 * t) for t in range(TRIALS)]
-    sec_per_call = float(np.median(sec_trials))
-    steps_per_sec = N_STEPS * batch / sec_per_call
+    def cpu_work():
+        log("cpu-baseline: starting (torch, reference import)")
+        cpu_holder["cpu"] = measure_cpu_baseline()
+        put(cpu=cpu_holder["cpu"])
+        log(f"cpu-baseline: done ({cpu_holder['cpu']['source']})")
 
-    # Latency: single line, per-call fenced; pool TRIALS x 10 samples.
-    sample_1 = build(1, seq_len)
-    jax.block_until_ready(sample_1(key))  # compile
-    times_1 = np.concatenate(
-        [timed(sample_1, key, 10, salt=100 * t) for t in range(TRIALS)]
-    )
-    p50 = float(np.percentile(times_1, 50))
+    cpu_thread = threading.Thread(target=cpu_work, daemon=True, name="cpu-baseline")
+    cpu_thread.start()
 
-    import os
-
-    train = None
+    train_prep = None
     if os.environ.get("DHG_BENCH_TRAIN", "1") == "1":
-        train = bench_training()
+        train_prep = TrainPrep()
+        train_prep.start()
 
-    cpu = measure_cpu_baseline()
+    phase("model-init")
+    t_init = time.monotonic()
+    model, params = make_model_and_params(seq_len)
+    jax.block_until_ready(params)
+    log(f"jitted init done in {time.monotonic() - t_init:.0f}s")
 
-    result = {
-        "metric": "denoise_steps_per_sec_per_chip",
-        "value": round(float(steps_per_sec), 2),
-        "unit": "denoiser_fwd/s",
-        "vs_baseline": round(float(steps_per_sec) / A100_DENOISE_FWD_EQUIV_PER_SEC, 3),
-        "p50_line_latency_s": round(p50, 4),
-        "p50_device_only_s": round(max(p50 - rtt, 0.0), 4),
-        "tunnel_rtt_ms": round(rtt * 1000, 2),
-        "batch": batch,
-        "seq_len": seq_len,
-        "n_diffusion_steps": N_STEPS,
-        "trials": TRIALS,
-        "throughput_trial_ms_per_call": [round(s * 1000, 1) for s in sec_trials],
-        "throughput_timing": "sustained-dispatch median-of-trials (p50 is per-call fenced)",
-        "train_steps_per_sec_batch96": round(train["median"], 2) if train else None,
-        "train_trials": train["trials"] if train else None,
-        "train_vs_a100_10.4": round(train["median"] / 10.4, 2) if train else None,
-        "train_compute_dtype": train["compute_dtype"] if train else None,
-        "train_mfu": round(
-            train["median"] * TRAIN_FLOPS_PER_STEP_B96 / V5E_BF16_PEAK_FLOPS, 4
-        ) if train else None,
-        "train_dtype_note": "reference A100 number is fp32/TF32; dhg trains "
-        "bf16-compute/f32-params (TPU-native choice)",
-        "cpu_baseline_line_s": cpu["line_s"],
-        "cpu_baseline_line_s_in_run": cpu.get("line_s_in_run"),
-        "cpu_baseline_source": cpu["source"],
-        "cpu_baseline_host_note": "1-CPU host, torch single-threaded",
-        "vs_cpu_x": round(cpu["line_s"] / p50, 1),
-        "train_vs_cpu_x": round(
-            train["median"] / cpu["train_steps_per_sec"], 1
-        ) if train else None,
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    samplers: dict = {}
+
+    def warm_sampler(batch):
+        t_c = time.monotonic()
+        log(f"sampler b{batch}: build + compile")
+        fn = build(model, params, batch, seq_len)
+        out = fn(key)
+        np.asarray(out)  # compile + one exec (pre-measurement)
+        samplers[batch] = fn
+        log(f"sampler b{batch}: compiled in {time.monotonic() - t_c:.0f}s")
+
+    t256 = threading.Thread(target=warm_sampler, args=(256,), daemon=True, name="s256")
+    t1 = threading.Thread(target=warm_sampler, args=(1,), daemon=True, name="s1")
+    t256.start()
+    t1.start()
+
+    phase("compile-wait")
+    t256.join()
+    t1.join()
+
+    # Measurement windows: clear DEVICE_QUIET so train-prep warmup execs
+    # (the only background device users) hold off.
+    phase("tunnel-rtt")
+    DEVICE_QUIET.clear()
+    try:
+        rtt = measure_tunnel_rtt()
+        put(rtt=rtt)
+        log(f"rtt = {rtt * 1000:.1f} ms")
+
+        # Throughput: batch-256 sampler (BASELINE config 5's sweep batch),
+        # sustained dispatch, median of TRIALS independent 6-call windows.
+        phase("throughput-b256")
+        sec_trials = []
+        for t in range(TRIALS):
+            sec_trials.append(timed_sustained(samplers[256], key, 6, salt=100 * t))
+            put(
+                sec_trials=list(sec_trials),
+                steps_per_sec=N_STEPS * 256 / float(np.median(sec_trials)),
+            )
+            log(f"b256 trial {t}: {sec_trials[-1] * 1000:.1f} ms/call")
+
+        # Latency: single line, per-call fenced; pool TRIALS x 10 samples.
+        phase("latency-b1")
+        times_1 = []
+        for t in range(TRIALS):
+            times_1.append(timed(samplers[1], key, 10, salt=100 * t))
+            put(p50=float(np.percentile(np.concatenate(times_1), 50)))
+        log(f"p50 = {RESULT['p50'] * 1000:.1f} ms")
+    finally:
+        DEVICE_QUIET.set()
+
+    if train_prep is not None:
+        phase("train-prep-wait")
+        train_prep.join()
+        phase("train-trials")
+        train = bench_training(train_prep)
+        if train is not None:
+            put(train=train)
+            log(f"train = {train['median']:.1f} steps/s")
+
+    phase("cpu-wait")
+    cpu_thread.join(timeout=max(5.0, deadline - (time.monotonic() - T0) - 5.0))
+    emit("complete")
 
 
 if __name__ == "__main__":

@@ -228,7 +228,11 @@ class Trainer:
             jnp.ones((1, 1)),
             jnp.zeros((1, 14, 1280)),
         )
-        params = self.model.init(key, *dummy)["params"]
+        # jit the init: eagerly, flax dispatches hundreds of tiny programs
+        # and on the axon tunnel every one pays a remote per-op compile +
+        # RTT (measured minutes of startup, round 5); jitted it is ONE
+        # program. Same keys/ops under trace, so params are identical.
+        params = jax.jit(self.model.init)(key, *dummy)["params"]
         if self.mesh is not None:
             shardings = param_shardings(params, self.mesh)
             params = jax.tree.map(jax.device_put, params, shardings)
@@ -293,7 +297,15 @@ class Trainer:
 
         jitted = jax.jit(chunk, donate_argnums=(0,))
         arrays = data.arrays
-        return lambda state, root_key, counts: jitted(state, root_key, counts, arrays)
+
+        def wrapper(state: TrainState, root_key: jax.Array, counts: jax.Array):
+            return jitted(state, root_key, counts, arrays)
+
+        # bench.py AOT-compiles the chunk program in a background thread
+        # (remote compiles overlap; see bench.py round-5 notes).
+        wrapper.jitted = jitted
+        wrapper.arrays = arrays
+        return wrapper
 
     def _build_step(self):
         """step(state, key, arrays) — dataset arrays arrive as an argument
