@@ -186,3 +186,11 @@ def test_generate_halved_schedule(tiny_teacher):
             n_steps=15,
             schedule="bogus",
         )
+
+
+def test_probe_distill_cli_requires_dirs():
+    """The cross-level probe tool (round 5) fails fast without run dirs."""
+    from dhg.tools.probe_distill import main
+
+    with pytest.raises(SystemExit, match="--teacher"):
+        main([])
