@@ -25,9 +25,13 @@ CLI:
     python -m dhg.metrics --experiment_path=<run dir> [--split=validation]
                           [--n_samples=64] [--batch_size=32] [--seed=0]
                           [--n_steps=...] [--diffusion_mode=new]
+                          [--schedule=strided|halved]
 
 samples lines conditioned on the split's real texts/styles and scores them
-against the split's real strokes, printing one JSON dict.
+against the split's real strokes, printing one JSON dict. Distilled
+students (config training_args.distilled_steps) default to their own
+halved-grid DDIM sampler exactly like `dhg.inference.infer` — explicit
+flags always win.
 """
 
 from __future__ import annotations
@@ -252,8 +256,9 @@ def evaluate_generation(
     n_samples: int = 64,
     batch_size: int = 32,
     seed: int = 0,
-    diffusion_mode: str = "new",
+    diffusion_mode: str | None = None,
     n_steps: int | None = None,
+    schedule: str | None = None,
     use_ema: bool = True,
     fsd: bool = True,
 ) -> dict:
@@ -278,6 +283,21 @@ def evaluate_generation(
         str(exp / "config.yml"), str(resolve_checkpoint(exp)), use_ema=use_ema
     )
     cfg = DLConfig.load(str(exp / "config.yml"))
+    # Distilled-student defaults, mirroring dhg.inference.infer:582-596
+    # (explicit flags always win): score the student on the sampler it was
+    # trained for — its own halved grid, deterministic DDIM.
+    distilled = cfg.training_args.distilled_steps
+    if distilled:
+        if n_steps is None:
+            n_steps = int(distilled)
+        if schedule is None:
+            schedule = "halved"
+        if diffusion_mode is None:
+            diffusion_mode = "ddim"
+    if diffusion_mode is None:
+        diffusion_mode = "new"  # the reference default
+    if schedule is None:
+        schedule = "strided"
     cache = load_cache(cfg, split)
     if cache is None or len(cache) == 0:
         raise RuntimeError(f"no samples in the {split!r} split")
@@ -297,11 +317,21 @@ def evaluate_generation(
             seq_len=real.shape[1],
             diffusion_mode=diffusion_mode,
             n_steps=n_steps,
+            schedule=schedule,
         )
         gen_rows.append(np.asarray(out))
     gen = np.concatenate(gen_rows, axis=0)
 
-    result: dict = {"split": split, "n": int(n), "ks": compare_stroke_sets(gen, real)}
+    result: dict = {
+        "split": split,
+        "n": int(n),
+        "sampler": {
+            "diffusion_mode": diffusion_mode,
+            "n_steps": n_steps or 60,
+            "schedule": schedule,
+        },
+        "ks": compare_stroke_sets(gen, real),
+    }
     if fsd:
         # Embed with the SAME trunk the run trained against
         # (dataset_args.style_weights — e.g. the in-env writer-
