@@ -394,6 +394,12 @@ def bench_training(prep: TrainPrep, steps: int = 32, trials: int = TRIALS) -> di
     state = prep.state
     key = jax.random.PRNGKey(0)
     steps = -(-steps // CHUNK) * CHUNK
+    # One warm chunk from THIS thread: warmups ran on the prep thread, and
+    # the first dispatch of a program from a new thread pays a measured
+    # affinity cost (round-3 serving finding; trial-1 ran 72 vs 97 steps/s
+    # without this).
+    state, rows = prep.chunk_call(state, key, jnp.arange(40_000, 40_000 + CHUNK, dtype=jnp.int32))
+    np.asarray(rows[-1])
     rates = []
     for trial in range(trials):
         t0 = time.perf_counter()
