@@ -20,6 +20,7 @@ Usage:
     python -m dhg.tools.probe_distill --teacher=<run dir> \
         --student=<distilled run dir> [--teacher_steps=60] \
         [--student_steps=<from student config>] [--prompt="..."]
+        [--multi=1]   # probe a fixed 8-prompt batch instead of one line
 
 Ref: reference inference.py:84-94 (the 60-step loop being distilled);
 Salimans & Ho 2022 (progressive distillation), dhg/distill.py.
@@ -55,9 +56,26 @@ def main(argv=None) -> None:
         kw.pop("student_steps", scfg.training_args.distilled_steps or teacher_steps // 2)
     )
 
+    multi = bool(kw.pop("multi", False))
     tok = Tokenizer()
-    text = jnp.asarray([tok.encode(prompt)], jnp.int32)
-    style = jnp.zeros((1, 14, 1280))
+    if multi:
+        # Fixed diverse batch: lengths 11-43 chars, shared padded width.
+        prompts = [
+            "a probe line of text",
+            "the quick brown fox jumps over the lazy dog",
+            "Diffusion models write by hand",
+            "MMXXVI",
+            "pack my box with five dozen jugs",
+            "hello world",
+            "strokes and pen lifts",
+            "Follow the White Rabbit",
+        ]
+        width = max(len(tok.encode(p)) for p in prompts)
+        rows = [tok.encode(p) + [0] * (width - len(tok.encode(p))) for p in prompts]
+        text = jnp.asarray(rows, jnp.int32)
+    else:
+        text = jnp.asarray([tok.encode(prompt)], jnp.int32)
+    style = jnp.zeros((text.shape[0], 14, 1280))
     key = jax.random.PRNGKey(1234)
     gen_kw = dict(
         seq_len=infer_seq_len(text.shape[1]), diffusion_mode="ddim", schedule="halved"
@@ -70,13 +88,24 @@ def main(argv=None) -> None:
     def mse(a, b):
         return float(jnp.mean((a[..., :2] - b[..., :2]) ** 2))
 
+    def per_row(a, b):
+        return [round(float(v), 6) for v in jnp.mean((a[..., :2] - b[..., :2]) ** 2, axis=(1, 2))]
+
     out = {
         "teacher_steps": teacher_steps,
         "student_steps": student_steps,
+        "n_prompts": int(text.shape[0]),
         "copy_vs_teacher_mse": mse(ref, copy),
         "student_vs_teacher_mse": mse(ref, stud),
         "distillation_wins": mse(ref, stud) < mse(ref, copy),
     }
+    if text.shape[0] > 1:
+        out["copy_per_prompt"] = per_row(ref, copy)
+        out["student_per_prompt"] = per_row(ref, stud)
+        wins = sum(
+            s < c for s, c in zip(out["student_per_prompt"], out["copy_per_prompt"])
+        )
+        out["prompts_won"] = f"{wins}/{text.shape[0]}"
     print(json.dumps(out, indent=2))
 
 
