@@ -40,7 +40,8 @@ defaults to (n_steps=distilled_steps, schedule="halved", ddim).
 
 CLI:
     python -m dhg.distill --experiment_path=<teacher run dir> \
-        [--steps=2000] [--student_steps=30] [--training_args.xx=yy ...]
+        [--steps=2000] [--student_steps=30] [--lr=5e-5 constant-LR override]
+        [--training_args.xx=yy ...]
 """
 
 from __future__ import annotations
@@ -67,7 +68,13 @@ class Distiller:
     (absent = the canonical 60) names the grid the teacher samples on.
     """
 
-    def __init__(self, cfg: DLConfig, teacher_params, student_steps: int | None = None):
+    def __init__(
+        self,
+        cfg: DLConfig,
+        teacher_params,
+        student_steps: int | None = None,
+        lr: float | None = None,
+    ):
         ta = cfg.training_args
         self.cfg = cfg
         self.teacher_steps = int(ta.distilled_steps or N_STEPS)
@@ -85,7 +92,12 @@ class Distiller:
 
         self.model = DiffusionModel.from_config(ta, dtype=DTYPES.get(ta.compute_dtype, None))
         self.teacher_params = teacher_params
-        self.tx = make_optimizer(cfg)
+        # --lr: constant-LR override. The teacher config's ramping Noam
+        # schedule is right for from-scratch training but over-trains a
+        # student that STARTS at the optimum (round-5 measurement:
+        # 300 steps under the ramp beat 2000). None keeps the teacher's
+        # schedule.
+        self.tx = make_optimizer(cfg, lr_override=lr)
         self.batch_size = ta.batch_size
 
         # Step-index tables (see module docstring). f32 [2k] / [k].
@@ -226,6 +238,8 @@ def main() -> None:
     steps = int(kw.pop("steps", 2000))
     student_steps = kw.pop("student_steps", None)
     probe = bool(kw.pop("probe", True))
+    lr = kw.pop("lr", None)
+    lr = float(lr) if lr is not None else None
     kw.pop("config", None)  # the teacher's resolved config.yml is the config
 
     exp = Path(exp_path)
@@ -237,7 +251,7 @@ def main() -> None:
         cfg = DLConfig(update_config(cfg.to_dict(), kw))
     model, teacher_params = load_model(exp / "config.yml", ckpt, cfg_options=kw or None)
 
-    d = Distiller(cfg, teacher_params, student_steps=student_steps)
+    d = Distiller(cfg, teacher_params, student_steps=student_steps, lr=lr)
     d.model = model  # identical construction; keep the loaded instance
 
     from dhg.utils.experiment import prepare_exp

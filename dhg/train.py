@@ -85,13 +85,26 @@ def clip_transform(value: float, mode: str = "norm") -> optax.GradientTransforma
     raise KeyError(f"Unknown clip mode ({mode}).")
 
 
-def make_optimizer(cfg: DLConfig) -> optax.GradientTransformation:
-    """Build the optax chain from the reference YAML optimizer schema."""
+def make_optimizer(
+    cfg: DLConfig, lr_override: float | None = None
+) -> optax.GradientTransformation:
+    """Build the optax chain from the reference YAML optimizer schema.
+
+    lr_override: replace the Noam schedule with a CONSTANT learning rate
+    (same Adam/clip chain). Used by dhg.distill --lr: a distill run starts
+    from converged teacher weights, and the ramping Noam schedule that is
+    right for from-scratch training walks the student away from the
+    teacher once the distill loss has converged (round-5 measurement,
+    PERFORMANCE.md "the negative FLIPS")."""
     kind, params = object_from_dict(dict(cfg.optimizer))
     ta = cfg.training_args
     betas = params.get("betas", [0.9, 0.999])
     wd = params.get("weight_decay", 0.0) or 0.0
-    schedule = noam_schedule(ta.channels * 2, ta.warmup_steps, lr_mul=1.0)
+    if lr_override is not None:
+        lr = float(lr_override)
+        schedule = lambda _: lr
+    else:
+        schedule = noam_schedule(ta.channels * 2, ta.warmup_steps, lr_mul=1.0)
 
     chain: list[optax.GradientTransformation] = []
     if ta.clip_grad is not None:
