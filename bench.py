@@ -33,7 +33,14 @@ CPU baseline landed). Two structural fixes:
     measured when (a) all phases finish, (b) the internal deadline
     (DHG_BENCH_DEADLINE_S, default 780 s — the sequential round-4 bench
     took 15m24s on this host and the driver's budget is ~15 min) expires,
-    or (c) SIGTERM/SIGINT arrives. Unmeasured fields are null, bench_status says which phase was
+    or (c) SIGTERM/SIGINT arrives. The WATCHDOG is the real guarantee:
+    measured round 5, an external SIGTERM during a remote compile kills
+    the process before the Python handler runs (the axon client's C layer
+    terminates on it; the same handler works fine on the CPU backend), so
+    the deadline must stay comfortably under the driver's timeout — the
+    watchdog daemon thread fires regardless of what the main thread is
+    blocked in (validated live: DHG_BENCH_DEADLINE_S=70 emitted a valid
+    partial line mid-compile on the TPU). Unmeasured fields are null, bench_status says which phase was
     cut, and phase progress is logged to stderr with timestamps so a
     truncated tail is still diagnosable.
 
