@@ -136,6 +136,12 @@ def assemble(status: str) -> dict:
     steps_per_sec = r.get("steps_per_sec")
     p50 = r.get("p50")
     rtt = r.get("rtt")
+    # Decompose against the RTT FLOOR (min of the trivial-call samples), not
+    # the median: transport can't take less than its floor, so p50 - floor is
+    # a sound device-time upper bound, where p50 - median can clamp to a
+    # misleading 0.0 whenever tunnel jitter pushes the median past the
+    # sampler's own p50 (observed: rtt median 44 ms > p50 38 ms).
+    rtt_floor = r.get("rtt_floor", rtt)
     train = r.get("train")  # dict or None
     cpu = r.get("cpu") or {**REFERENCE_CPU_MEASURED, "source": "recorded (in-run measurement did not finish)"}
     return {
@@ -146,8 +152,9 @@ def assemble(status: str) -> dict:
             steps_per_sec / A100_DENOISE_FWD_EQUIV_PER_SEC if steps_per_sec else None, 3
         ),
         "p50_line_latency_s": rnd(p50, 4),
-        "p50_device_only_s": rnd(max(p50 - rtt, 0.0) if p50 is not None and rtt is not None else None, 4),
+        "p50_device_only_s": rnd(max(p50 - rtt_floor, 0.0) if p50 is not None and rtt_floor is not None else None, 4),
         "tunnel_rtt_ms": rnd(rtt * 1000 if rtt is not None else None, 2),
+        "tunnel_rtt_floor_ms": rnd(rtt_floor * 1000 if rtt_floor is not None else None, 2),
         "batch": 256,
         "seq_len": r.get("seq_len"),
         "n_diffusion_steps": N_STEPS,
@@ -262,11 +269,13 @@ def build(model, params, batch: int, seq_len: int):
     return sample
 
 
-def measure_tunnel_rtt(iters: int = 20) -> float:
-    """Median wall time of a trivial fenced program call — on the axon
-    tunnel this is dominated by transport RTT (~35 ms measured round 2),
-    on a local backend it is ~sub-ms dispatch. Reported so the p50 line
-    latency decomposes into device time + transport."""
+def measure_tunnel_rtt(iters: int = 20) -> tuple:
+    """(median, min) wall time of a trivial fenced program call — on the
+    axon tunnel this is dominated by transport RTT (~35 ms measured round
+    2), on a local backend it is ~sub-ms dispatch. The median is reported
+    as tunnel_rtt_ms; the MIN is the transport floor used to decompose the
+    p50 line latency into device time + transport (jitter can push the
+    median above the sampler's own p50, but never the floor)."""
 
     @jax.jit
     def tiny(x):
@@ -279,7 +288,7 @@ def measure_tunnel_rtt(iters: int = 20) -> float:
         t0 = time.perf_counter()
         np.asarray(tiny(x))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), float(np.min(times))
 
 
 def timed(fn, key, iters: int, salt: int = 0):
@@ -479,9 +488,9 @@ def main():
     phase("tunnel-rtt")
     DEVICE_QUIET.clear()
     try:
-        rtt = measure_tunnel_rtt()
-        put(rtt=rtt)
-        log(f"rtt = {rtt * 1000:.1f} ms")
+        rtt, rtt_floor = measure_tunnel_rtt()
+        put(rtt=rtt, rtt_floor=rtt_floor)
+        log(f"rtt = {rtt * 1000:.1f} ms (floor {rtt_floor * 1000:.1f} ms)")
 
         # Throughput: batch-256 sampler (BASELINE config 5's sweep batch),
         # sustained dispatch, median of TRIALS independent 6-call windows.

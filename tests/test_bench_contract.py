@@ -69,12 +69,26 @@ def test_assemble_derives_from_partial_measurements():
     assert out["vs_baseline"] == round(45000.0 / bench.A100_DENOISE_FWD_EQUIV_PER_SEC, 3)
     assert out["p50_device_only_s"] == pytest.approx(0.01)
     assert out["tunnel_rtt_ms"] == 30.0
+    # Without an explicit floor, the median doubles as the floor.
+    assert out["tunnel_rtt_floor_ms"] == 30.0
     # vs_cpu_x uses the recorded fallback denominator when the in-run CPU
     # measurement has not landed.
     assert out["vs_cpu_x"] == round(bench.REFERENCE_CPU_MEASURED["line_s"] / 0.04, 1)
     # train not measured -> nulls, not crashes
     assert out["train_steps_per_sec_batch96"] is None
     assert out["train_vs_cpu_x"] is None
+
+
+def test_assemble_decomposes_against_rtt_floor():
+    # Tunnel jitter can push the trivial-call MEDIAN above the sampler's own
+    # p50 (observed in-run: rtt 44 ms > p50 38.2 ms), which used to clamp
+    # p50_device_only_s to a misleading 0.0. The decomposition must use the
+    # transport FLOOR instead; the median stays reported as tunnel_rtt_ms.
+    bench.put(p50=0.0382, rtt=0.044, rtt_floor=0.026)
+    out = bench.assemble("complete")
+    assert out["tunnel_rtt_ms"] == 44.0
+    assert out["tunnel_rtt_floor_ms"] == 26.0
+    assert out["p50_device_only_s"] == pytest.approx(0.0122)
 
 
 def test_assemble_with_train_and_cpu():
