@@ -175,6 +175,12 @@ def assemble(status: str) -> dict:
         "cpu_baseline_source": cpu["source"],
         "cpu_baseline_host_note": "1-CPU host, torch single-threaded",
         "vs_cpu_x": rnd(cpu["line_s"] / p50 if p50 else None, 1),
+        # Amortized comparison: batch-256 sustained lines/s vs the CPU loop's
+        # lines/s. Unlike the per-call vs_cpu_x (whose denominator embeds the
+        # tunnel RTT and so swings ~1.5x run-to-run), this is transport-free.
+        "vs_cpu_amortized_x": rnd(
+            (steps_per_sec / N_STEPS) * cpu["line_s"] if steps_per_sec else None, 1
+        ),
         "train_vs_cpu_x": rnd(
             train["median"] / cpu["train_steps_per_sec"], 1
         ) if train else None,

@@ -74,6 +74,10 @@ def test_assemble_derives_from_partial_measurements():
     # vs_cpu_x uses the recorded fallback denominator when the in-run CPU
     # measurement has not landed.
     assert out["vs_cpu_x"] == round(bench.REFERENCE_CPU_MEASURED["line_s"] / 0.04, 1)
+    # amortized = sustained lines/s (steps/s / 60) x CPU seconds/line.
+    assert out["vs_cpu_amortized_x"] == round(
+        45000.0 / bench.N_STEPS * bench.REFERENCE_CPU_MEASURED["line_s"], 1
+    )
     # train not measured -> nulls, not crashes
     assert out["train_steps_per_sec_batch96"] is None
     assert out["train_vs_cpu_x"] is None
